@@ -1,0 +1,147 @@
+"""Typed configuration tree.
+
+Replaces the reference's three overlapping config mechanisms — the
+``config.py`` list-index switchboard, per-script argparse flags, and the
+missing ``utils/dataGeneration*Config`` modules (SURVEY.md §5) — with a
+single immutable dataclass tree. Architecture choices are fixed at
+construction; no runtime flag-branching ever reaches a jitted forward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """Denoiser architecture.
+
+    Defaults reproduce the published model (reference
+    ``trainModifyCondition.py:1087-1092`` / ``unet.py:1895-1896``):
+    320-channel constant-width UNet, channel_mult (1,1), one res-block
+    per level, spatial-transformer attention at full latent resolution,
+    4 heads, 320-d context, 339 IAM writers, vocab 54.
+    """
+
+    in_channels: int = 4
+    model_channels: int = 320
+    out_channels: int = 4
+    num_res_blocks: int = 1
+    channel_mult: tuple = (1, 1)
+    attention_resolutions: tuple = (1,)
+    transformer_depth: int = 1
+    num_heads: int = 4
+    context_dim: int = 320
+    vocab_size: int = 54
+    num_writers: int = 339
+    max_seq_len: int = 42          # positional-encoding table length
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = False
+    # Research-UNet quirk (``unet.py:337-341``): the first attention in
+    # each transformer block ALSO cross-attends to the text context
+    # instead of self-attending. The WordStylist/phosc variant
+    # (``unetPhosc.py:224-246``) uses standard self->cross; set False.
+    attn1_cross: bool = True
+    # PHOSC conditioning: embed the integer phosc descriptor through the
+    # character encoder and concat along the sequence axis
+    # (``unetPhosc.py:1120-1134``).
+    use_phosc: bool = False
+    phosc_dim: int = 769           # phos 165 + phoc 604 (eng)
+    # Writer style feature vector projected into the context
+    # (``unet.py:1243`` wrd_proj 4096->320); 0 disables.
+    style_vec_dim: int = 0
+    # Auxiliary CTC OCR head on the final feature map
+    # (``unet.py:1054-1092`` CTCtopC).
+    ocr_head: bool = False
+    ocr_classes: int = 80
+    ocr_hidden: int = 256
+    ocr_layers: int = 3
+    dtype: str = "bfloat16"        # activation/matmul dtype (params fp32)
+    remat: bool = False            # jax.checkpoint the transformer blocks
+    use_pallas_attention: bool = False
+    use_pallas_groupnorm: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """Stable-Diffusion AutoencoderKL shape (frozen codec, scale
+    0.18215: ``trainModifyCondition.py:703-706,1130-1139``)."""
+
+    in_channels: int = 3
+    latent_channels: int = 4
+    base_channels: int = 128
+    channel_mult: tuple = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    scaling_factor: float = 0.18215
+    dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionConfig:
+    num_steps: int = 600           # main trainer; original uses 1000
+    beta_start: float = 1e-4
+    beta_end: float = 0.02
+    # Reverse loop runs t = T-1 .. 1 (t=0 skipped), matching
+    # ``train.py:221`` / ``trainModifyCondition.py:568``.
+    cfg_scale: float = 0.0         # reference CFG is disabled/broken
+    # Regeneration skip-step schedule (``regenerateFromtrain2.py:536``):
+    # when enabled, the model is called only on selected steps and the
+    # last prediction is reused in between.
+    skip_steps: bool = False
+    deterministic: bool = False    # regen's noise-free update (:615-618)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "iam"
+    gt_path: str = ""
+    image_dir: str = ""
+    img_height: int = 64
+    img_width: int = 256
+    max_chars: int = 42
+    alphabet: str = "eng_main"
+    phos_version: str = "eng"
+    latent: bool = True            # train in VAE latent space
+    style_classes: int = 339
+    latent_cache: Optional[str] = None
+    batch_size: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh. data axis = batch sharding (DP over ICI); model axis
+    = optional tensor sharding of attention/FF weights."""
+
+    data: int = -1                 # -1: all remaining devices
+    model: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-4               # AdamW (``trainModifyCondition.py:1110``)
+    weight_decay: float = 0.01
+    epochs: int = 1000
+    ema_beta: float = 0.995        # ``train.py:140-170``
+    ema_warmup_steps: int = 2000
+    cfg_drop_prob: float = 0.1     # 10% context drop (``:716-717``)
+    ctc_weight: float = 0.0        # aux OCR CTC loss weight
+    ckpt_every_epochs: int = 5
+    save_path: str = "./runs/default"
+    stop_flag_file: Optional[str] = None
+    seed: int = 0
+    log_every: int = 50
+
+
+@dataclasses.dataclass(frozen=True)
+class Experiment:
+    name: str = "iam"
+    unet: UNetConfig = dataclasses.field(default_factory=UNetConfig)
+    vae: VAEConfig = dataclasses.field(default_factory=VAEConfig)
+    diffusion: DiffusionConfig = dataclasses.field(default_factory=DiffusionConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "Experiment":
+        return dataclasses.replace(self, **kw)

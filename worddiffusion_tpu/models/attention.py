@@ -1,0 +1,192 @@
+"""Cross-attention, transformer block and spatial transformer.
+
+TPU-native rewrite of ``unet.py:164-412`` / ``unetPhosc.py:157-300``:
+attention runs as batched MXU matmuls with an fp32 softmax, optionally
+through the Pallas fused kernel (``ops/attention_pallas.py``). Two block
+variants exist as *static* config, not runtime flags:
+
+- ``attn1_cross=True``  — the research UNet (``unet.py:337-341``) where
+  BOTH attentions cross-attend to the text context through a shared
+  pre-norm (norm2).
+- ``attn1_cross=False`` — the WordStylist/phosc layout
+  (``unetPhosc.py:224-246``): self-attn -> cross-attn -> FF.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import Conv2D, Dense, FeedForward, GroupNorm32
+
+Dtype = Any
+
+
+def _attend(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float, use_pallas: bool
+) -> jax.Array:
+    """softmax(q k^T * scale) v with fp32 accumulation.
+
+    q: [B, H, Nq, D], k/v: [B, H, Nk, D].
+    """
+    if use_pallas:
+        from ..ops.attention_pallas import fused_attention
+
+        return fused_attention(q, k, v, scale)
+    sim = jnp.einsum(
+        "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    attn = jax.nn.softmax(sim, axis=-1)
+    return jnp.einsum(
+        "bhij,bhjd->bhid", attn.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head cross attention (``unet.py:164-279`` minus the
+    experiment hooks). No q/k/v biases; output projection has bias."""
+
+    query_dim: int
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        inner = self.heads * self.dim_head
+        context = x if context is None else context
+        q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+
+        b, nq, _ = q.shape
+        nk = k.shape[1]
+        q = q.reshape(b, nq, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        k = k.reshape(b, nk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        v = v.reshape(b, nk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        out = _attend(q, k, v, self.dim_head ** -0.5, self.use_pallas)
+        out = out.transpose(0, 2, 1, 3).reshape(b, nq, inner)
+        out = Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    n_heads: int
+    d_head: int
+    context_dim: Optional[int] = None
+    dropout: float = 0.0
+    attn1_cross: bool = True
+    dtype: Dtype = jnp.bfloat16
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        def ln(name):
+            return nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name=name)
+
+        attn1 = CrossAttention(
+            query_dim=self.dim,
+            context_dim=self.context_dim if self.attn1_cross else None,
+            heads=self.n_heads,
+            dim_head=self.d_head,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            name="attn1",
+        )
+        attn2 = CrossAttention(
+            query_dim=self.dim,
+            context_dim=self.context_dim,
+            heads=self.n_heads,
+            dim_head=self.d_head,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            name="attn2",
+        )
+        ff = FeedForward(self.dim, dropout=self.dropout, dtype=self.dtype, name="ff")
+
+        if self.attn1_cross:
+            # research UNet: both attentions see the context, shared norm2
+            norm2 = ln("norm2")
+            h = norm2(x).astype(self.dtype)
+            x = x + attn1(h, context, deterministic)
+            h = norm2(x).astype(self.dtype)
+            x = x + attn2(h, context, deterministic)
+        else:
+            x = x + attn1(ln("norm1")(x).astype(self.dtype), None, deterministic)
+            x = x + attn2(ln("norm2")(x).astype(self.dtype), context, deterministic)
+        x = x + ff(ln("norm3")(x).astype(self.dtype), deterministic)
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GroupNorm -> 1x1 conv in -> token transformer -> 1x1 zero conv out
+    + residual (``unet.py:347-412``)."""
+
+    in_channels: int
+    n_heads: int
+    d_head: int
+    depth: int = 1
+    context_dim: Optional[int] = None
+    dropout: float = 0.0
+    attn1_cross: bool = True
+    dtype: Dtype = jnp.bfloat16
+    use_pallas: bool = False
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        b, h, w, c = x.shape
+        inner = self.n_heads * self.d_head
+        x_in = x
+        x = GroupNorm32(name="norm")(x)
+        x = Conv2D(inner, kernel=(1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, inner)
+
+        block_cls = BasicTransformerBlock
+        if self.remat:
+            block_cls = nn.remat(BasicTransformerBlock, static_argnums=(3,))
+        for i in range(self.depth):
+            x = block_cls(
+                dim=inner,
+                n_heads=self.n_heads,
+                d_head=self.d_head,
+                context_dim=self.context_dim,
+                dropout=self.dropout,
+                attn1_cross=self.attn1_cross,
+                dtype=self.dtype,
+                use_pallas=self.use_pallas,
+                name=f"block_{i}",
+            )(x, context, deterministic)
+
+        x = x.reshape(b, h, w, inner)
+        x = Conv2D(
+            self.in_channels, kernel=(1, 1), zero_init=True, dtype=self.dtype,
+            name="proj_out",
+        )(x)
+        return x + x_in

@@ -1,0 +1,229 @@
+"""Conditional UNet denoiser — the flagship model.
+
+TPU-native rebuild of the reference ``UNetModel`` (``unet.py:1096-1836``)
+and ``UNetModelPhosc`` (``unetPhosc.py:751-1159``), unified behind one
+static config:
+
+- NHWC layout, bf16 activations, fp32 params / GroupNorm / softmax;
+- all conditioning (char ids -> CharacterEncoder, writer id -> embedding
+  added to the t-embedding, PHOSC ids -> same encoder concatenated on
+  the sequence axis, style vectors -> extra context token) resolved
+  before the conv trunk so the hot loop is pure matmul/conv;
+- architecture variants are construction-time config (no args-in-forward
+  branching like ``unet.py:1645-1836``).
+
+Published default (``trainModifyCondition.py:1087-1092``): 320 channels,
+channel_mult (1,1), 1 res-block, attention at full resolution + middle,
+4 heads, context 320 — a constant-width UNet over the 8x32 latent with a
+single Downsample to 4x16.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..configs.config import UNetConfig
+from .attention import SpatialTransformer
+from .ctc_head import CTCHead
+from .encoders import CharacterEncoder, StyleProjection
+from .layers import Conv2D, Dense, Downsample, GroupNorm32, Upsample, timestep_embedding
+
+Dtype = Any
+
+
+class ResBlock(nn.Module):
+    """GroupNorm-SiLU-conv residual block with timestep injection
+    (``unetPhosc.py:427-544``). ``scale_shift`` selects FiLM-style
+    conditioning (``use_scale_shift_norm``)."""
+
+    out_channels: int
+    dropout: float = 0.0
+    scale_shift: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, emb: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        in_ch = x.shape[-1]
+        h = GroupNorm32(name="in_norm")(x)
+        h = nn.silu(h)
+        h = Conv2D(self.out_channels, dtype=self.dtype, name="in_conv")(h)
+
+        emb_out = Dense(
+            2 * self.out_channels if self.scale_shift else self.out_channels,
+            dtype=self.dtype,
+            name="emb_proj",
+        )(nn.silu(emb))
+
+        if self.scale_shift:
+            scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
+            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+        else:
+            h = h + emb_out[:, None, None, :]
+            h = GroupNorm32(name="out_norm")(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Conv2D(self.out_channels, zero_init=True, dtype=self.dtype, name="out_conv")(h)
+
+        if in_ch != self.out_channels:
+            x = Conv2D(self.out_channels, kernel=(1, 1), dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+class UNet(nn.Module):
+    """The conditional denoiser.
+
+    forward(x_t [B,H,W,C], t [B], context_ids [B,L], writer_id [B],
+            phosc_ids [B,P]?, style_vec [B,D]?) -> eps-hat [B,H,W,C]
+    (+ ocr logits [T,B,K] when the aux head is enabled).
+    """
+
+    cfg: UNetConfig
+
+    def _spatial_transformer(self, ch: int, name: str) -> SpatialTransformer:
+        cfg = self.cfg
+        dim_head = ch // cfg.num_heads
+        return SpatialTransformer(
+            in_channels=ch,
+            n_heads=cfg.num_heads,
+            d_head=dim_head,
+            depth=cfg.transformer_depth,
+            context_dim=cfg.context_dim,
+            dropout=cfg.dropout,
+            attn1_cross=cfg.attn1_cross,
+            dtype=jnp.dtype(cfg.dtype),
+            use_pallas=cfg.use_pallas_attention,
+            remat=cfg.remat,
+            name=name,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        t: jax.Array,
+        context_ids: Optional[jax.Array] = None,
+        writer_id: Optional[jax.Array] = None,
+        phosc_ids: Optional[jax.Array] = None,
+        style_vec: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        time_embed_dim = cfg.model_channels * 4
+
+        # --- conditioning ------------------------------------------------
+        t_emb = timestep_embedding(t, cfg.model_channels)
+        emb = Dense(time_embed_dim, dtype=dtype, name="time_mlp_1")(t_emb.astype(dtype))
+        emb = Dense(time_embed_dim, dtype=dtype, name="time_mlp_2")(nn.silu(emb))
+
+        if writer_id is not None:
+            emb = emb + nn.Embed(
+                cfg.num_writers,
+                time_embed_dim,
+                dtype=dtype,
+                param_dtype=jnp.float32,
+                name="label_emb",
+            )(writer_id)
+
+        context = None
+        if context_ids is not None:
+            encoder = CharacterEncoder(
+                vocab_size=cfg.vocab_size,
+                hidden_size=cfg.context_dim,
+                max_seq_len=cfg.max_seq_len,
+                dtype=dtype,
+                name="word_emb",
+            )
+            context = encoder(context_ids)
+            if cfg.use_phosc and phosc_ids is not None:
+                # PHOSC ints re-use the same encoder and extend the
+                # sequence axis (``unetPhosc.py:1120-1134``).
+                context = jnp.concatenate([context, encoder(phosc_ids)], axis=1)
+            if cfg.style_vec_dim and style_vec is not None:
+                style_tok = StyleProjection(
+                    cfg.context_dim, dtype=dtype, name="style_proj"
+                )(style_vec.astype(dtype))
+                context = jnp.concatenate([context, style_tok], axis=1)
+
+        # --- UNet trunk ---------------------------------------------------
+        h = Conv2D(cfg.model_channels, dtype=dtype, name="conv_in")(x.astype(dtype))
+        hs = [h]
+        ch = cfg.model_channels
+        ds = 1
+        skip_chans = [ch]
+
+        # input blocks
+        for level, mult in enumerate(cfg.channel_mult):
+            for i in range(cfg.num_res_blocks):
+                ch = mult * cfg.model_channels
+                h = ResBlock(
+                    ch,
+                    dropout=cfg.dropout,
+                    scale_shift=cfg.use_scale_shift_norm,
+                    dtype=dtype,
+                    name=f"in_{level}_{i}_res",
+                )(h, emb, deterministic)
+                if ds in cfg.attention_resolutions:
+                    h = self._spatial_transformer(ch, f"in_{level}_{i}_attn")(
+                        h, context, deterministic
+                    )
+                hs.append(h)
+                skip_chans.append(ch)
+            if level != len(cfg.channel_mult) - 1:
+                h = Downsample(ch, dtype=dtype, name=f"down_{level}")(h)
+                hs.append(h)
+                skip_chans.append(ch)
+                ds *= 2
+
+        # middle
+        h = ResBlock(
+            ch, dropout=cfg.dropout, scale_shift=cfg.use_scale_shift_norm,
+            dtype=dtype, name="mid_res1",
+        )(h, emb, deterministic)
+        h = self._spatial_transformer(ch, "mid_attn")(h, context, deterministic)
+        h = ResBlock(
+            ch, dropout=cfg.dropout, scale_shift=cfg.use_scale_shift_norm,
+            dtype=dtype, name="mid_res2",
+        )(h, emb, deterministic)
+
+        # output blocks
+        for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+            for i in range(cfg.num_res_blocks + 1):
+                skip = hs.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                ch = cfg.model_channels * mult
+                h = ResBlock(
+                    ch, dropout=cfg.dropout, scale_shift=cfg.use_scale_shift_norm,
+                    dtype=dtype, name=f"out_{level}_{i}_res",
+                )(h, emb, deterministic)
+                if ds in cfg.attention_resolutions:
+                    h = self._spatial_transformer(ch, f"out_{level}_{i}_attn")(
+                        h, context, deterministic
+                    )
+                if level and i == cfg.num_res_blocks:
+                    h = Upsample(ch, dtype=dtype, name=f"up_{level}")(h)
+                    ds //= 2
+
+        h = GroupNorm32(name="out_norm")(h)
+        h = nn.silu(h)
+        eps = Conv2D(
+            cfg.out_channels, zero_init=True, dtype=dtype, name="out_conv"
+        )(h)
+        eps = eps.astype(jnp.float32)
+
+        if cfg.ocr_head:
+            logits = CTCHead(
+                hidden=cfg.ocr_hidden,
+                layers=cfg.ocr_layers,
+                nclasses=cfg.ocr_classes,
+                dtype=dtype,
+                name="aux_head",
+            )(eps.astype(dtype), deterministic)
+            return eps, logits
+        return eps
