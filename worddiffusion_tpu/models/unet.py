@@ -123,6 +123,9 @@ class UNet(nn.Module):
         emb = Dense(time_embed_dim, dtype=dtype, name="time_mlp_2")(nn.silu(emb))
 
         if writer_id is not None:
+            # clamp instead of silent NaN on out-of-range ids (torch
+            # would device-assert; XLA gathers garbage)
+            writer_id = jnp.clip(writer_id, 0, cfg.num_writers - 1)
             emb = emb + nn.Embed(
                 cfg.num_writers,
                 time_embed_dim,
