@@ -1,14 +1,11 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
-Must run before any jax import so sharding tests can exercise real
-multi-device collectives without TPU hardware.
+The environment's axon sitecustomize registers a tunneled TPU backend
+and overrides JAX_PLATFORMS for every interpreter, so env vars alone
+don't stick — use jax.config.update before any backend initialisation.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -104,8 +104,7 @@ def test_ocr_head_output():
     rng = jax.random.PRNGKey(0)
     x, t, ctx, wid = make_inputs(rng)
     variables = model.init(rng, x, t, ctx, wid)
-    out = model.apply(variables, x, t, ctx, wid, mutable=["batch_stats"])
-    (eps, logits), _ = out
+    eps, logits = model.apply(variables, x, t, ctx, wid)
     assert eps.shape == x.shape
     assert logits.shape == (256, 2, 52)  # [T, B, K]
 

@@ -1,0 +1,138 @@
+"""Reverse-diffusion samplers as single compiled ``lax.scan`` programs.
+
+TPU-native rebuild of the reference reverse loops:
+
+- ``ddpm_sample`` covers ``Diffusion.sampling`` (``train.py:200-251``,
+  ``trainModifyCondition.py:545-622``): ancestral DDPM from t = T-1
+  down to 1 (t=0 is never visited), fresh noise except at the last
+  step.
+- The regeneration variant ``sampling3`` (``regenerateFromtrain2.py:
+  465-648``) adds (a) a *skip-step* schedule where the denoiser is only
+  invoked on selected steps and the stale prediction is reused in
+  between, and (b) a deterministic update with no noise injection.
+  Both are expressed here as a static call-mask + ``lax.cond`` with a
+  scalar predicate, so the whole 599-step loop is ONE compiled program
+  and skipped steps really skip the UNet's FLOPs at runtime.
+- CFG: ``uncond + scale * (cond - uncond)`` (torch.lerp semantics from
+  the reference's disabled branch, ``train.py:224-228``), off by
+  default like the reference.
+
+The per-step noise is derived with ``jax.random.fold_in(rng, t)`` — no
+host RNG in the loop, fully reproducible under sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedule import NoiseSchedule
+
+EpsFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def regen_call_mask(
+    num_steps: int, epoch: int = 0, full_sampling: bool = False
+) -> np.ndarray:
+    """Boolean mask over timesteps: True where the denoiser is invoked.
+
+    Reproduces the reference condition (``regenerateFromtrain2.py:536``)
+    ``i%100==0 or i%5==0 or i==T or i==T-1 or (epoch>3 and i%25==0) or
+    (epoch>5 and i%15==0) or (epoch>10 and i%10==0)``. (All the
+    epoch-gated terms are subsets of ``i%5==0``; kept for fidelity.)
+    """
+    if full_sampling:
+        return np.ones(num_steps, dtype=bool)
+    i = np.arange(num_steps)
+    mask = (
+        (i % 100 == 0)
+        | (i % 5 == 0)
+        | (i == num_steps)
+        | (i == num_steps - 1)
+    )
+    if epoch > 3:
+        mask |= i % 25 == 0
+    if epoch > 5:
+        mask |= i % 15 == 0
+    if epoch > 10:
+        mask |= i % 10 == 0
+    return mask
+
+
+def ddpm_sample(
+    schedule: NoiseSchedule,
+    eps_fn: EpsFn,
+    rng: jax.Array,
+    x_init: jax.Array,
+    *,
+    stochastic: bool = True,
+    call_mask: Optional[np.ndarray] = None,
+    cfg_scale: float = 0.0,
+    uncond_eps_fn: Optional[EpsFn] = None,
+) -> jax.Array:
+    """Run the reverse process and return the final latent.
+
+    ``eps_fn(x, t) -> eps_hat`` closes over params + conditioning.
+    ``call_mask[t]`` False reuses the previous prediction (skip-step
+    regen mode). ``stochastic=False`` is the regen deterministic update
+    (``regenerateFromtrain2.py:615-618``).
+    """
+    T = schedule.num_steps
+    beta = jnp.asarray(schedule.beta)
+    alpha = jnp.asarray(schedule.alpha)
+    alpha_hat = jnp.asarray(schedule.alpha_hat)
+    mask = (
+        jnp.asarray(call_mask)
+        if call_mask is not None
+        else jnp.ones((T,), dtype=bool)
+    )
+
+    use_cfg = cfg_scale > 0.0 and uncond_eps_fn is not None
+
+    def step(carry, i):
+        x, prev_eps = carry
+        t = jnp.full((x.shape[0],), i, dtype=jnp.int32)
+
+        def call(_):
+            eps = eps_fn(x, t)
+            if use_cfg:
+                uncond = uncond_eps_fn(x, t)
+                eps = uncond + cfg_scale * (eps - uncond)
+            return eps
+
+        eps = jax.lax.cond(mask[i], call, lambda _: prev_eps, None)
+
+        a = alpha[i]
+        ah = alpha_hat[i]
+        b = beta[i]
+        # update math in fp32 for stability, carry stays in x's dtype
+        xf = x.astype(jnp.float32)
+        ef = eps.astype(jnp.float32)
+        mean = (xf - ((1.0 - a) / jnp.sqrt(1.0 - ah)) * ef) / jnp.sqrt(a)
+        if stochastic:
+            noise = jax.random.normal(
+                jax.random.fold_in(rng, i), x.shape, jnp.float32
+            )
+            noise = jnp.where(i > 1, noise, jnp.zeros_like(noise))
+            mean = mean + jnp.sqrt(b) * noise
+        x = mean.astype(x.dtype)
+        return (x, eps.astype(prev_eps.dtype)), None
+
+    steps = jnp.arange(T - 1, 0, -1)
+    (x, _), _ = jax.lax.scan(step, (x_init, jnp.zeros_like(x_init)), steps)
+    return x
+
+
+def latent_to_image(x: jax.Array, decode_fn, scaling: float = 0.18215) -> jax.Array:
+    """VAE decode + [0,1] clamp (``train.py:239-247``). NHWC float32."""
+    img = decode_fn(x / scaling)
+    return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+
+def pixel_to_uint8(x: jax.Array) -> jax.Array:
+    """Pixel-space path (``train.py:248-251``): [-1,1] -> uint8."""
+    x = (jnp.clip(x, -1.0, 1.0) + 1.0) / 2.0
+    return (x * 255.0).astype(jnp.uint8)

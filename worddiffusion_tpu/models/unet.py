@@ -111,6 +111,7 @@ class UNet(nn.Module):
         writer_id: Optional[jax.Array] = None,
         phosc_ids: Optional[jax.Array] = None,
         style_vec: Optional[jax.Array] = None,
+        writer_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
     ):
         cfg = self.cfg
@@ -126,13 +127,18 @@ class UNet(nn.Module):
             # clamp instead of silent NaN on out-of-range ids (torch
             # would device-assert; XLA gathers garbage)
             writer_id = jnp.clip(writer_id, 0, cfg.num_writers - 1)
-            emb = emb + nn.Embed(
+            w_emb = nn.Embed(
                 cfg.num_writers,
                 time_embed_dim,
                 dtype=dtype,
                 param_dtype=jnp.float32,
                 name="label_emb",
             )(writer_id)
+            if writer_mask is not None:
+                # traced classifier-free drop of the writer conditioning
+                # (reference ``train.py:284-285`` labels=None path)
+                w_emb = w_emb * writer_mask[:, None].astype(w_emb.dtype)
+            emb = emb + w_emb
 
         context = None
         if context_ids is not None:
