@@ -1,0 +1,99 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from worddiffusion_tpu.data.gt import Sample
+from worddiffusion_tpu.eval.zsl import (
+    cosine_decode_indices,
+    gzsl_accuracy,
+    split_seen_unseen,
+    zsl_accuracy,
+)
+from worddiffusion_tpu.models.phoscnet import (
+    PHOSCNet,
+    phosc_loss,
+    temporal_pyramid_pool,
+)
+
+
+def test_temporal_pyramid_pool_shapes_and_values():
+    x = jnp.arange(2 * 4 * 10 * 3, dtype=jnp.float32).reshape(2, 4, 10, 3)
+    out = temporal_pyramid_pool(x, (1, 2, 5))
+    assert out.shape == (2, 3 * (1 + 2 + 5))
+    # level 1 = global max per channel
+    assert np.allclose(out[:, :3], np.asarray(x.max(axis=(1, 2))))
+
+
+def test_tpp_uneven_width_padding():
+    # width 7 with level 5 -> kernel 2, pad to 10
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 7, 2))
+    out = temporal_pyramid_pool(x, (5,))
+    assert out.shape == (1, 10)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_phoscnet_output_shapes():
+    model = PHOSCNet(dtype="float32", hidden=64)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 50, 250, 3))
+    params = model.init(rng, x)
+    out = model.apply(params, x)
+    assert out["phos"].shape == (2, 165)
+    assert out["phoc"].shape == (2, 604)
+    assert float(out["phos"].min()) >= 0.0          # ReLU head
+    assert 0.0 <= float(out["phoc"].min()) and float(out["phoc"].max()) <= 1.0
+
+
+def test_phoscnet_resnet_trunk():
+    model = PHOSCNet(dtype="float32", hidden=64, trunk="resnet18")
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 50, 250, 3))
+    params = model.init(rng, x)
+    out = model.apply(params, x)
+    assert out["phos"].shape == (1, 165)
+
+
+def test_phosc_loss():
+    pred = {"phos": jnp.ones((2, 165)), "phoc": jnp.full((2, 604), 0.5)}
+    tp = jnp.ones((2, 165))
+    tc = jnp.zeros((2, 604)).at[:, 3].set(1.0)
+    loss = phosc_loss(pred, tp, tc)
+    # phos is exact -> loss is pure phoc CE = log(604) for uniform
+    assert np.isclose(float(loss), np.log(604), rtol=1e-3)
+
+
+def test_cosine_decode_exact_match():
+    from worddiffusion_tpu.data.phosc import lexicon_matrix, phosc_vector
+
+    words, lex = lexicon_matrix(["the", "of", "and", "handwriting"])
+    # prediction == true vector -> decodes to the right word
+    pred = np.stack([phosc_vector("and"), phosc_vector("the")])
+    idx = np.asarray(cosine_decode_indices(jnp.asarray(pred), jnp.asarray(lex)))
+    assert [words[i] for i in idx] == ["and", "the"]
+
+
+def test_zsl_accuracy_with_oracle_model():
+    from worddiffusion_tpu.data.phosc import phosc_vector
+    from worddiffusion_tpu.data.alphabets import phos_dim
+
+    targets = ["lord", "said", "gazing"]
+    vecs = np.stack([phosc_vector(w) for w in targets]).astype(np.float32)
+
+    def oracle(images):
+        # ignore images; return the true descriptors
+        return {"phos": jnp.asarray(vecs[:, :165]), "phoc": jnp.asarray(vecs[:, 165:])}
+
+    batches = [(np.zeros((3, 50, 250, 3), np.float32), targets)]
+    acc, by_len = zsl_accuracy(oracle, batches, targets + ["extra", "words"])
+    assert acc == 1.0
+    assert by_len[4] == 100.0
+
+
+def test_gzsl_and_split():
+    samples = [Sample(f"i{k}.png", "w", w) for k, w in
+               enumerate(["a", "b", "c", "d", "e"] * 4)]
+    seen, unseen = split_seen_unseen(samples, seen_fraction=0.6, seed=0)
+    seen_words = {s.word for s in seen}
+    unseen_words = {s.word for s in unseen}
+    assert seen_words.isdisjoint(unseen_words)
+    assert len(seen) + len(unseen) == len(samples)

@@ -38,11 +38,14 @@ ALPHABETS = {
     "nor": NOR,
 }
 
-# OCR (CTC recognizer) alphabet used by the regeneration filter
-# (reference ``regenerateFromtrain2.py:70-92``): blank is class 0 by CTC
-# convention; classes are ' ' + letters.
-OCR_ENG = " !\"#&'()*+,-./0123456789:;?abcdefghijklmnopqrstuvwxyz" \
-    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+# OCR (CTC recognizer) alphabets used by the regeneration filter
+# (reference ``regenerateFromtrain2.py:70-92``). For ENG the blank
+# symbol is '_' at index 1 (decode strips it); for NOR blank is '_' at
+# index 0.
+OCR_ENG = " _ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+OCR_ENG_BLANK = 1
+OCR_NOR = "_" + "ABCDEFGHIJKLMNOPQRSTUVWXYZÆØÅabcdefghijklmnopqrstuvwxyzæøå"
+OCR_NOR_BLANK = 0
 
 # ---------------------------------------------------------------------------
 # PHOS shape-count tables.

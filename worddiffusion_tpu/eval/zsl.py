@@ -1,0 +1,109 @@
+"""Zero-shot / generalized zero-shot word recognition accuracy.
+
+Rebuild of ``ResPhoSCNetZSL/modules/engine.py:79-268``. The reference
+decodes each prediction with a *Python double loop* over the lexicon
+computing per-word cosine similarity (``engine.py:140-144``); here the
+whole decode is one [B, D] x [D, W] matmul on the MXU followed by an
+argmax — identical result, thousands of times faster.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.phosc import lexicon_matrix
+
+
+def _normalize(m, eps=1e-8):
+    return m / (jnp.linalg.norm(m, axis=-1, keepdims=True) + eps)
+
+
+@jax.jit
+def cosine_decode_indices(pred: jax.Array, lexicon: jax.Array) -> jax.Array:
+    """pred [B, D], lexicon [W, D] -> argmax cosine word index [B]."""
+    sim = _normalize(pred) @ _normalize(lexicon).T
+    return jnp.argmax(sim, axis=-1)
+
+
+def decode_words(
+    pred_phosc: np.ndarray, words: Sequence[str], lexicon: np.ndarray
+) -> list[str]:
+    idx = np.asarray(cosine_decode_indices(jnp.asarray(pred_phosc), jnp.asarray(lexicon)))
+    return [words[i] for i in idx]
+
+
+def zsl_accuracy(
+    apply_fn: Callable[[np.ndarray], dict],
+    batches: Iterable[tuple[np.ndarray, Sequence[str]]],
+    lexicon_words: Sequence[str],
+    version: str = "eng",
+) -> tuple[float, dict[int, float]]:
+    """Accuracy of cosine-decode against the lexicon of candidate words.
+
+    ``apply_fn(images) -> {'phos','phoc'}``; batches yield
+    (images NHWC, target words). Returns (accuracy, per-length accuracy)
+    like the reference (``engine.py:102-164``).
+    """
+    words, lex = lexicon_matrix(list(lexicon_words), version)
+    lex_j = jnp.asarray(lex)
+    correct = 0
+    total = 0
+    by_len_correct: dict[int, int] = {}
+    by_len_total: dict[int, int] = {}
+    for images, targets in batches:
+        out = apply_fn(images)
+        pred = jnp.concatenate([out["phos"], out["phoc"]], axis=-1)
+        idx = np.asarray(cosine_decode_indices(pred, lex_j))
+        for i, target in enumerate(targets):
+            guess = words[idx[i]]
+            L = len(target)
+            by_len_total[L] = by_len_total.get(L, 0) + 1
+            total += 1
+            if guess == target:
+                correct += 1
+                by_len_correct[L] = by_len_correct.get(L, 0) + 1
+    acc_by_len = {
+        L: 100.0 * by_len_correct.get(L, 0) / n for L, n in by_len_total.items()
+    }
+    return (correct / max(total, 1)), acc_by_len
+
+
+def gzsl_accuracy(
+    apply_fn: Callable[[np.ndarray], dict],
+    seen_batches: Iterable[tuple[np.ndarray, Sequence[str]]],
+    unseen_batches: Iterable[tuple[np.ndarray, Sequence[str]]],
+    seen_words: Sequence[str],
+    unseen_words: Sequence[str],
+    version: str = "eng",
+) -> dict:
+    """GZSL: both splits decoded against the UNION lexicon
+    (``engine.py:186-200``); reports seen/unseen accuracy and their
+    harmonic mean."""
+    union = list(dict.fromkeys(list(seen_words) + list(unseen_words)))
+    acc_seen, _ = zsl_accuracy(apply_fn, seen_batches, union, version)
+    acc_unseen, _ = zsl_accuracy(apply_fn, unseen_batches, union, version)
+    h = (
+        2 * acc_seen * acc_unseen / (acc_seen + acc_unseen)
+        if (acc_seen + acc_unseen) > 0
+        else 0.0
+    )
+    return {"seen": acc_seen, "unseen": acc_unseen, "harmonic_mean": h}
+
+
+def split_seen_unseen(
+    samples: Sequence, seen_fraction: float = 0.8, seed: int = 0
+) -> tuple[list, list]:
+    """Word-level ZSL split: unseen words never appear in training
+    (``dataset_manipulation/split_to_seen_and_unseen.py:3-27``)."""
+    words = sorted({s.word for s in samples})
+    rng = np.random.default_rng(seed)
+    rng.shuffle(words)
+    cut = int(len(words) * seen_fraction)
+    seen_words = set(words[:cut])
+    seen = [s for s in samples if s.word in seen_words]
+    unseen = [s for s in samples if s.word not in seen_words]
+    return seen, unseen

@@ -1,0 +1,160 @@
+"""PHOSC zero-shot word recognizer (the evaluation head).
+
+Rebuild of ``ResPhoSCNetZSL/modules/models.py:15-85``: 13-conv VGG-ish
+trunk (two 2x2 maxpools), temporal pyramid pooling over levels [1,2,5]
+(``modules/pyramidpooling.py:74-113``), and two 4096-4096 MLP heads —
+phos (165, ReLU) and phoc (604, Sigmoid). Input 50x250 RGB word crops
+in NHWC. Residual variants (``residualmodels.py``) are provided via
+``trunk='resnet18'``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def temporal_pyramid_pool(x: jax.Array, levels=(1, 2, 5)) -> jax.Array:
+    """NHWC -> [B, C * sum(levels)] max-pooled horizontal stripes.
+
+    Mirrors the reference semantics: for each level, width is
+    ceil-padded so ``level`` equal stripes cover it, each stripe is
+    max-pooled over (full height x stripe width).
+    """
+    b, h, w, c = x.shape
+    out = []
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else -(2 ** 30)
+    for level in levels:
+        kernel_w = math.ceil(w / level)
+        pad_total = kernel_w * level - w
+        pad1 = pad_total // 2
+        pad2 = pad_total - pad1
+        xp = jnp.pad(
+            x, ((0, 0), (0, 0), (pad1, pad2), (0, 0)),
+            constant_values=neg,
+        )
+        pooled = jax.lax.reduce_window(
+            xp, neg, jax.lax.max,
+            window_dimensions=(1, h, kernel_w, 1),
+            window_strides=(1, h, kernel_w, 1),
+            padding="VALID",
+        )  # [B, 1, level, C]
+        out.append(pooled.reshape(b, level * c))
+    return jnp.concatenate(out, axis=1)
+
+
+class _VGGTrunk(nn.Module):
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        plan = [
+            (64, False), (64, True),
+            (128, False), (128, True),
+            (256, False), (256, False), (256, False),
+            (256, False), (256, False), (256, False),
+            (512, False), (512, False), (512, False),
+        ]
+        for i, (feats, pool_after) in enumerate(plan):
+            x = nn.Conv(feats, (3, 3), padding="SAME", dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"conv{i}")(x)
+            x = nn.relu(x)
+            if pool_after:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return x
+
+
+class _ResNet18Trunk(nn.Module):
+    """Residual trunk option (``residualmodels.py:266-330`` family)."""
+
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        def block(h, feats, stride, name):
+            res = h
+            h = nn.Conv(feats, (3, 3), strides=(stride, stride),
+                        padding="SAME", dtype=self.dtype,
+                        param_dtype=jnp.float32, name=name + "_c1")(h)
+            h = nn.GroupNorm(num_groups=min(32, feats), dtype=jnp.float32,
+                             param_dtype=jnp.float32, name=name + "_n1")(
+                h.astype(jnp.float32)).astype(self.dtype)
+            h = nn.relu(h)
+            h = nn.Conv(feats, (3, 3), padding="SAME", dtype=self.dtype,
+                        param_dtype=jnp.float32, name=name + "_c2")(h)
+            h = nn.GroupNorm(num_groups=min(32, feats), dtype=jnp.float32,
+                             param_dtype=jnp.float32, name=name + "_n2")(
+                h.astype(jnp.float32)).astype(self.dtype)
+            if res.shape != h.shape:
+                res = nn.Conv(feats, (1, 1), strides=(stride, stride),
+                              dtype=self.dtype, param_dtype=jnp.float32,
+                              name=name + "_sc")(res)
+            return nn.relu(h + res)
+
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
+                    dtype=self.dtype, param_dtype=jnp.float32, name="stem")(x)
+        x = nn.relu(x)
+        for stage, (feats, stride) in enumerate(
+            [(64, 1), (128, 2), (256, 1), (512, 1)]
+        ):
+            x = block(x, feats, stride, f"s{stage}b0")
+            x = block(x, feats, 1, f"s{stage}b1")
+        return x
+
+
+class PHOSCNet(nn.Module):
+    phos_size: int = 165
+    phoc_size: int = 604
+    hidden: int = 4096
+    levels: tuple = (1, 2, 5)
+    trunk: str = "vgg"          # 'vgg' | 'resnet18'
+    dropout: float = 0.5
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> dict:
+        x = x.astype(jnp.dtype(self.dtype))
+        trunk = (_ResNet18Trunk if self.trunk == "resnet18" else _VGGTrunk)(
+            dtype=self.dtype, name="trunk"
+        )
+        feats = temporal_pyramid_pool(trunk(x), self.levels)
+
+        def head(name, out_dim, final_act):
+            h = feats
+            for i in range(2):
+                h = nn.Dense(self.hidden, dtype=self.dtype,
+                             param_dtype=jnp.float32, name=f"{name}_fc{i}")(h)
+                h = nn.relu(h)
+                h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            h = nn.Dense(out_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                         name=f"{name}_out")(h)
+            return final_act(h.astype(jnp.float32))
+
+        return {
+            "phos": head("phos", self.phos_size, nn.relu),
+            "phoc": head("phoc", self.phoc_size, nn.sigmoid),
+        }
+
+
+def phosc_loss(
+    pred: dict, target_phos: jax.Array, target_phoc: jax.Array,
+    phos_w: float = 4.5, phoc_w: float = 1.0,
+) -> jax.Array:
+    """4.5 * MSE(phos) + CE(phoc) (``modules/loss.py:7-19``).
+
+    The reference feeds the *sigmoid outputs* into
+    ``F.cross_entropy`` with a float multi-hot target — i.e.
+    ``-sum(target * log_softmax(pred))`` averaged over the batch.
+    Reproduced exactly (it is what the published recognizers were
+    trained with).
+    """
+    phos_loss = phos_w * jnp.mean(jnp.square(pred["phos"] - target_phos))
+    logp = jax.nn.log_softmax(pred["phoc"], axis=-1)
+    phoc_loss = phoc_w * jnp.mean(-jnp.sum(target_phoc * logp, axis=-1))
+    return phos_loss + phoc_loss
