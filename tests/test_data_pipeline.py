@@ -1,0 +1,127 @@
+import numpy as np
+
+from worddiffusion_tpu.configs.config import DataConfig, VAEConfig
+from worddiffusion_tpu.data import augment
+from worddiffusion_tpu.data.dataset import LatentLookup, WordImageDataset
+from worddiffusion_tpu.data.gt import WriterRegistry
+from worddiffusion_tpu.data.loader import batches, epoch_batches, host_shard, prefetch
+from worddiffusion_tpu.data.synthetic import render_word, synthetic_corpus
+from worddiffusion_tpu.data.tokenizer import Tokenizer
+from worddiffusion_tpu.utils.images import (
+    center_on_canvas,
+    crop_whitespace,
+    regen_filename,
+    resize_and_pad,
+    save_image_grid,
+)
+
+
+def make_dataset(**kw):
+    samples = synthetic_corpus()
+    reg = WriterRegistry()
+    for s in samples:
+        reg.add(s.writer)
+    tok = Tokenizer.from_name("eng_main", 42)
+    cfg = DataConfig()
+    return WordImageDataset(samples, reg, tok, cfg, **kw), samples
+
+
+def test_render_word_shape_and_ink():
+    img = render_word("handwriting")
+    assert img.shape == (64, 256, 3)
+    assert img.dtype == np.uint8
+    assert (img < 100).sum() > 50  # has ink
+    # deterministic per (word, seed)
+    assert np.array_equal(img, render_word("handwriting"))
+
+
+def test_dataset_record():
+    ds, _ = make_dataset(use_phosc=True)
+    rec = ds[0]
+    assert rec["image"].shape == (64, 256, 3)
+    assert rec["image"].min() >= -1.0 and rec["image"].max() <= 1.0
+    assert rec["context"].shape == (42,)
+    assert rec["phosc"].shape == (769,)
+    assert isinstance(rec["word"], str)
+
+
+def test_batches_and_prefetch():
+    ds, _ = make_dataset()
+    got = list(epoch_batches(ds, 8, epoch=0))
+    assert all(b["image"].shape == (8, 64, 256, 3) for b in got)
+    assert len(got) == len(ds) // 8
+    # different epochs shuffle differently
+    a = list(epoch_batches(ds, 8, epoch=0))[0]["image_name"]
+    b = list(epoch_batches(ds, 8, epoch=1))[0]["image_name"]
+    assert a != b
+
+
+def test_prefetch_propagates_errors():
+    def boom():
+        yield {"x": np.zeros(1)}
+        raise ValueError("boom")
+
+    it = prefetch(boom())
+    next(it)
+    import pytest
+
+    with pytest.raises(ValueError):
+        list(it)
+
+
+def test_host_shard_partitions():
+    items = list(range(10))
+    parts = [host_shard(items, h, 4) for h in range(4)]
+    flat = sorted(x for p in parts for x in p)
+    assert flat == items
+
+
+def test_latent_cache_roundtrip(tmp_path):
+    import jax
+
+    from worddiffusion_tpu.data.latent_cache import build_latent_cache
+    from worddiffusion_tpu.models.vae import AutoencoderKL
+
+    ds, samples = make_dataset()
+    ds.samples = ds.samples[:6]
+    cfg = VAEConfig(base_channels=16, channel_mult=(1, 1, 2, 2),
+                    num_res_blocks=1, dtype="float32")
+    vae = AutoencoderKL(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = vae.init(rng, np.zeros((1, 64, 256, 3), np.float32), rng)
+    path = str(tmp_path / "latents.npz")
+    cache = build_latent_cache(ds, vae, params, batch_size=4, out_path=path)
+    assert len(cache) == 6
+    loaded = LatentLookup.load(path)
+    assert loaded[samples[0].image].shape == (8, 32, 4)
+
+    # dataset consults the cache: record has latent, no image
+    ds2, _ = make_dataset(latent_cache=loaded)
+    ds2.samples = ds2.samples[:6]
+    rec = ds2[0]
+    assert "latent" in rec and "image" not in rec
+
+
+def test_augment_ops_preserve_shape():
+    rng = np.random.default_rng(0)
+    img = render_word("test")
+    for name in augment.DEFAULT_OPS:
+        out = augment.random_augment(img, rng, ops=(name,))
+        assert out.shape == img.shape, name
+        assert out.dtype == np.uint8, name
+    lined = augment.vertical_line_eraser(img, rng)
+    assert (lined == 255).sum() >= (img == 255).sum()
+
+
+def test_image_utils(tmp_path):
+    img = render_word("pad", width=100)
+    out = resize_and_pad(img[:, :80], 64, 256)
+    assert out.shape == (64, 256, 3)
+    cropped = crop_whitespace(render_word("x", jitter=False))
+    assert cropped.shape[0] <= 64 and cropped.shape[1] <= 256
+    cent = center_on_canvas(np.ones((2, 32, 100, 3), np.float32), 64, 256)
+    assert cent.shape == (2, 64, 256, 3)
+    assert regen_filename("a01-000.png", 7, "the") == "a01-000_7_the.png"
+    save_image_grid(np.random.rand(4, 64, 256, 3).astype(np.float32),
+                    str(tmp_path / "grid.png"))
+    assert (tmp_path / "grid.png").exists()

@@ -1,0 +1,135 @@
+"""Word-image dataset: samples -> model-ready records.
+
+Replaces the reference's five copy-pasted ``IAMDataset`` classes
+(``trainModifyCondition.py:224-478`` etc.) with one implementation:
+
+- images load from ``image_dir`` (pre-cropped word PNG/JPG), are
+  resize-padded to HxW and normalised to [-1, 1]
+  (``trainModifyCondition.py:933-935``);
+- missing files fall back to the synthetic renderer so the pipeline
+  runs without the cluster-only IAM crops;
+- ``latent_cache`` short-circuits image IO entirely, returning
+  precomputed VAE latents (the ``vaeFromDict`` fast path,
+  ``trainModifyCondition.py:303-325``);
+- optional PHOSC int descriptors and OCR CTC targets per record.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from ..configs.config import DataConfig
+from ..utils.images import normalize_to_unit, resize_and_pad
+from .alphabets import OCR_ENG
+from .gt import Sample, WriterRegistry
+from .phosc import phosc_vector
+from .synthetic import render_word
+from .tokenizer import Tokenizer
+
+
+class WordImageDataset:
+    def __init__(
+        self,
+        samples: Sequence[Sample],
+        registry: WriterRegistry,
+        tokenizer: Tokenizer,
+        cfg: DataConfig,
+        use_phosc: bool = False,
+        latent_cache: Optional["LatentLookup"] = None,
+        augment_fn: Optional[Callable] = None,
+        ocr_alphabet: Optional[str] = None,
+        seed: int = 0,
+    ):
+        self.samples = list(samples)
+        self.registry = registry
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.use_phosc = use_phosc
+        self.latent_cache = latent_cache
+        self.augment_fn = augment_fn
+        self.ocr_alphabet = ocr_alphabet
+        self._rng = np.random.default_rng(seed)
+        self._phosc_cache: dict[str, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def _load_image(self, sample: Sample) -> np.ndarray:
+        path = os.path.join(self.cfg.image_dir, sample.image) if self.cfg.image_dir else ""
+        if path and os.path.exists(path):
+            from PIL import Image
+
+            img = np.asarray(Image.open(path).convert("RGB"))
+        else:
+            img = render_word(
+                sample.word, self.cfg.img_height, self.cfg.img_width,
+                seed=abs(hash(sample.image)) % (2 ** 31),
+            )
+        if img.shape[:2] != (self.cfg.img_height, self.cfg.img_width):
+            img = resize_and_pad(img, self.cfg.img_height, self.cfg.img_width)
+        if self.augment_fn is not None:
+            img = self.augment_fn(img, self._rng)
+        return img
+
+    def _phosc(self, word: str) -> np.ndarray:
+        if word not in self._phosc_cache:
+            self._phosc_cache[word] = phosc_vector(
+                word, self.cfg.phos_version, as_int=True
+            ).astype(np.int32)
+        return self._phosc_cache[word]
+
+    def __getitem__(self, idx: int) -> dict:
+        s = self.samples[idx]
+        rec = {
+            "image_name": s.image,
+            "word": s.word,
+            "context": self.tokenizer.encode(s.word),
+            "writer": np.int32(self.registry[s.writer] if s.writer in self.registry else 0),
+        }
+        if self.latent_cache is not None and s.image in self.latent_cache:
+            rec["latent"] = self.latent_cache[s.image]
+        else:
+            rec["image"] = normalize_to_unit(self._load_image(s))
+        if self.use_phosc:
+            rec["phosc"] = self._phosc(s.word)
+        if self.ocr_alphabet is not None:
+            from ..ops.ctc import encode_ocr_labels
+
+            ids, lens = encode_ocr_labels([s.word], self.ocr_alphabet, self.cfg.max_chars)
+            rec["ocr_ids"] = ids[0]
+            rec["ocr_len"] = lens[0]
+        return rec
+
+
+class LatentLookup:
+    """image name -> precomputed VAE latent (in-repo replacement for the
+    reference's cluster pickles ``imageWordLineVae3.pkl``)."""
+
+    def __init__(self, arrays: dict[str, np.ndarray]):
+        self._arrays = arrays
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._arrays
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        return self._arrays[name]
+
+    def __len__(self) -> int:
+        return len(self._arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "LatentLookup":
+        with np.load(path, allow_pickle=False) as z:
+            return cls({k: z[k] for k in z.files})
+
+    @classmethod
+    def build(
+        cls, names: Sequence[str], latents: np.ndarray, path: Optional[str] = None
+    ) -> "LatentLookup":
+        arrays = {n: latents[i] for i, n in enumerate(names)}
+        if path:
+            np.savez_compressed(path, **arrays)
+        return cls(arrays)

@@ -1,0 +1,81 @@
+"""Procedural handwritten-ish word image generator.
+
+The reference trains on IAM/GW/CVL/Norwegian crops that live on the
+author's cluster and are not shipped (SURVEY.md §0). This module
+renders synthetic 64x256 word images (PIL bitmap font + random affine
+jitter + ink noise) so the full train/regenerate/eval stack runs and
+benches end-to-end in any environment. Swap in real crops by pointing
+``DataConfig.image_dir`` at a directory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+from .gt import Sample
+
+
+def render_word(
+    word: str,
+    height: int = 64,
+    width: int = 256,
+    seed: int = 0,
+    jitter: bool = True,
+) -> np.ndarray:
+    """-> uint8 [height, width, 3], black ink on white."""
+    rng = np.random.default_rng(abs(hash((word, seed))) % (2 ** 31))
+    font = ImageFont.load_default()
+    # render big, then scale: default bitmap font is ~11px
+    scratch = Image.new("L", (max(8 * len(word) + 16, 32), 24), 255)
+    draw = ImageDraw.Draw(scratch)
+    draw.text((4, 4), word, fill=0, font=font)
+    arr = np.asarray(scratch)
+    cols = np.where((arr < 128).any(axis=0))[0]
+    rows = np.where((arr < 128).any(axis=1))[0]
+    if len(cols) and len(rows):
+        scratch = scratch.crop(
+            (cols[0], rows[0], cols[-1] + 1, rows[-1] + 1)
+        )
+    target_h = int(height * (0.45 + 0.25 * rng.random())) if jitter else height // 2
+    scale = target_h / scratch.size[1]
+    new_w = min(width - 8, max(4, int(scratch.size[0] * scale)))
+    word_img = scratch.resize((new_w, target_h), Image.BILINEAR)
+
+    if jitter:
+        shear = (rng.random() - 0.5) * 0.4
+        word_img = word_img.transform(
+            word_img.size, Image.AFFINE, (1, shear, 0, 0, 1, 0), fillcolor=255
+        )
+
+    canvas = Image.new("L", (width, height), 255)
+    max_x = max(1, width - new_w)
+    x = int(rng.integers(0, max(1, max_x // 4))) if jitter else (width - new_w) // 2
+    y = (height - target_h) // 2 + (int(rng.integers(-4, 5)) if jitter else 0)
+    y = max(0, min(height - target_h, y))
+    canvas.paste(word_img, (x, y))
+
+    out = np.asarray(canvas, dtype=np.float32)
+    if jitter:
+        out = out + rng.normal(0, 6.0, out.shape)
+    out = np.clip(out, 0, 255).astype(np.uint8)
+    return np.stack([out, out, out], axis=-1)
+
+
+def synthetic_corpus(
+    words: list[str] | None = None,
+    writers: int = 8,
+    samples_per_word: int = 4,
+) -> list[Sample]:
+    """A small gt-like corpus for tests and benches."""
+    words = words or [
+        "the", "of", "and", "text", "getting", "prop", "hand", "writing",
+        "word", "diffusion",
+    ]
+    out = []
+    k = 0
+    for w in words:
+        for j in range(samples_per_word):
+            out.append(Sample(image=f"syn-{k:05d}.png", writer=str(k % writers), word=w))
+            k += 1
+    return out
