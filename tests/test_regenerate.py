@@ -1,0 +1,121 @@
+import os
+
+import jax
+import numpy as np
+
+from worddiffusion_tpu.configs.config import (
+    DataConfig,
+    DiffusionConfig,
+    Experiment,
+    UNetConfig,
+)
+from worddiffusion_tpu.data.gt import Sample
+from worddiffusion_tpu.diffusion.sampler import regen_call_mask
+from worddiffusion_tpu.generate.regenerate import Regenerator, scan_existing
+from worddiffusion_tpu.generate.sample import WordSampler
+
+
+def pixel_exp(steps=12):
+    return Experiment(
+        name="pix",
+        unet=UNetConfig(
+            model_channels=16, context_dim=16, num_heads=2, vocab_size=54,
+            num_writers=8, max_seq_len=10, in_channels=3, out_channels=3,
+            dtype="float32",
+        ),
+        data=DataConfig(max_chars=10, img_height=16, img_width=32, latent=False),
+        diffusion=DiffusionConfig(num_steps=steps),
+    )
+
+
+def make_sampler(exp, **kw):
+    from worddiffusion_tpu.models.unet import UNet
+
+    model = UNet(exp.unet)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng,
+        np.zeros((1, 16, 32, 3), np.float32),
+        np.zeros((1,), np.int32),
+        np.zeros((1, 10), np.int32),
+        np.zeros((1,), np.int32),
+    )
+    return WordSampler(exp, params, **kw)
+
+
+def corpus():
+    return [Sample(f"img-{i:03d}.png", str(i % 3), w)
+            for i, w in enumerate(["the", "of", "and", "hand"] * 2)]
+
+
+def test_regen_no_filter_writes_all(tmp_path):
+    exp = pixel_exp()
+    regen = Regenerator(make_sampler(exp), out_dir=str(tmp_path / "out"))
+    stats = regen.run(corpus(), batch_size=4, rng=jax.random.PRNGKey(0))
+    assert stats.generated == 8
+    assert stats.accepted == 8
+    files = os.listdir(tmp_path / "out")
+    assert "img-000_0_the.png" in files
+    assert len(files) == 8
+
+
+def test_regen_resumable(tmp_path):
+    exp = pixel_exp()
+    out = str(tmp_path / "out")
+    regen = Regenerator(make_sampler(exp), out_dir=out)
+    regen.run(corpus()[:4], batch_size=4)
+    stats = regen.run(corpus(), batch_size=4)
+    assert stats.skipped_existing == 4
+    assert stats.generated == 4
+
+
+def test_regen_skip_schedule_and_deterministic(tmp_path):
+    exp = pixel_exp(steps=20)
+    mask = regen_call_mask(20, epoch=0)
+    sampler = make_sampler(exp, call_mask=mask, stochastic=False)
+    regen = Regenerator(sampler, out_dir=str(tmp_path / "out"))
+    stats = regen.run(corpus()[:4], batch_size=4)
+    assert stats.accepted == 4
+    # deterministic: same rng -> identical pixels
+    imgs1 = sampler.sample(["the"], [0], jax.random.PRNGKey(5))
+    imgs2 = sampler.sample(["the"], [0], jax.random.PRNGKey(5))
+    assert np.array_equal(imgs1, imgs2)
+
+
+def test_regen_ocr_filter_rejects(tmp_path):
+    # an OCR stub that always reads "wrong" -> nothing accepted
+    exp = pixel_exp()
+
+    def bad_ocr(imgs):
+        b = imgs.shape[0]
+        logits = np.full((b, 4, 55), -10.0, np.float32)
+        # frames spell 'zzz' (not any target word)
+        import jax.numpy as jnp
+
+        z = 54 - 1
+        out = jnp.asarray(logits).at[:, :, z].set(10.0)
+        return out
+
+    regen = Regenerator(
+        make_sampler(exp), ocr_apply=bad_ocr, out_dir=str(tmp_path / "out"),
+        keep_rejected=True,
+    )
+    stats = regen.run(corpus()[:4], batch_size=4)
+    assert stats.generated == 4 and stats.accepted == 0
+    assert len(os.listdir(tmp_path / "out" / "rejected")) == 4
+
+
+def test_regen_stop_flag(tmp_path):
+    flag = tmp_path / "flagGen.txt"
+    flag.write_text("0")
+    exp = pixel_exp()
+    regen = Regenerator(
+        make_sampler(exp), out_dir=str(tmp_path / "out"), stop_flag=str(flag)
+    )
+    regen.stop.poll_interval_s = 0.0
+    stats = regen.run(corpus(), batch_size=4)
+    assert stats.generated == 0
+
+
+def test_scan_existing_empty(tmp_path):
+    assert scan_existing(str(tmp_path / "nope")) == set()

@@ -1,0 +1,108 @@
+"""Regeneration CLI (``regenerateFromtrain2.py`` equivalent):
+OCR-filtered, resumable dataset regeneration."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="worddiffusion-tpu regeneration")
+    p.add_argument("--preset", default="iam")
+    p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--gt_file", required=True)
+    p.add_argument("--dump_path", default="./regen")
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--fullSampling", type=int, default=0,
+                   help="1: full 599 model calls; 0: skip-step schedule")
+    p.add_argument("--epoch", type=int, default=0, help="skip-schedule epoch knob")
+    p.add_argument("--sidChange", type=int, default=0)
+    p.add_argument("--ocr_ckpt", default="", help="orbax dir of a trained CTCRecognizer")
+    p.add_argument("--no_ocr_filter", type=int, default=0)
+    p.add_argument("--use_ema", type=int, default=1)
+    p.add_argument("--stable_dif_path", default="")
+    p.add_argument("--flagGen", default="", help="stop-flag file")
+    p.add_argument("--partialLoad", type=float, default=0.0)
+    p.add_argument("--max_batches", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from ..configs import presets
+    from ..data.alphabets import OCR_ENG
+    from ..data.gt import parse_gt
+    from ..diffusion.sampler import regen_call_mask
+    from ..generate.regenerate import Regenerator
+    from ..generate.sample import WordSampler
+    from ..models.ocr import CTCRecognizer
+    from .sample import load_state, make_vae
+
+    exp = presets.get(args.preset)
+    state = load_state(exp, args.ckpt_dir)
+    params = state.ema_params if args.use_ema else state.params
+    vae, vae_params = (make_vae(exp, args.stable_dif_path)
+                       if exp.data.latent else (None, None))
+
+    mask = regen_call_mask(
+        exp.diffusion.num_steps, epoch=args.epoch,
+        full_sampling=bool(args.fullSampling),
+    )
+    sampler = WordSampler(
+        exp, params, vae, vae_params,
+        call_mask=mask,
+        stochastic=bool(args.fullSampling),
+    )
+
+    ocr_apply = None
+    if not args.no_ocr_filter:
+        ocr = CTCRecognizer(num_classes=len(OCR_ENG))
+        rng = jax.random.PRNGKey(0)
+        ocr_vars = ocr.init(
+            rng, np.zeros((1, exp.data.img_height, exp.data.img_width, 1), np.float32)
+        )
+        if args.ocr_ckpt:
+            import orbax.checkpoint as ocp
+
+            mgr = ocp.CheckpointManager(os.path.abspath(args.ocr_ckpt))
+            step = mgr.latest_step()
+            ocr_vars = mgr.restore(step, args=ocp.args.StandardRestore(ocr_vars))
+        else:
+            logging.warning(
+                "no --ocr_ckpt: OCR filter uses an UNTRAINED recognizer "
+                "(accept rate ~0); pass --no_ocr_filter 1 to keep all images"
+            )
+        ocr_apply = jax.jit(lambda imgs: ocr.apply(ocr_vars, imgs))
+
+    samples, registry = parse_gt(args.gt_file, partial_load=args.partialLoad)
+    regen = Regenerator(
+        sampler,
+        ocr_apply=ocr_apply,
+        out_dir=args.dump_path,
+        writer_lookup=lambda w: registry[w] if w in registry else 0,
+        sid_change=args.sidChange,
+        stop_flag=args.flagGen or None,
+    )
+    stats = regen.run(
+        samples,
+        batch_size=args.batch_size,
+        rng=jax.random.PRNGKey(args.seed),
+        max_batches=args.max_batches or None,
+    )
+    logging.info(
+        "accept rate %.3f (%d/%d), %d skipped as existing",
+        stats.accept_rate, stats.accepted, stats.generated, stats.skipped_existing,
+    )
+
+
+if __name__ == "__main__":
+    main()

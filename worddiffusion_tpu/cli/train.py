@@ -1,0 +1,160 @@
+"""Training CLI — reference-compatible flags over the typed config.
+
+Usage (mirrors ``trainModifyCondition.py`` flags where they exist):
+
+  python -m worddiffusion_tpu.cli.train --preset iam \
+      --gt_train ./gt/gan.iam.tr_va.gt.filter27 --iam_path ./crops \
+      --epochs 1000 --batch_size 128 --save_path ./runs/iam \
+      [--phosc 1] [--ocrTraining 1] [--latent 1] [--stopFlagFile ./flags/stop.txt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="worddiffusion-tpu trainer")
+    p.add_argument("--preset", default="iam",
+                   choices=["iam", "iam_base", "iam_phosc", "gw", "cvl", "norwegian"])
+    p.add_argument("--gt_train", default="")
+    p.add_argument("--iam_path", default="", help="word-crop image dir")
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--img_size", default="64,256")
+    p.add_argument("--save_path", default="./runs/default")
+    p.add_argument("--latent", type=int, default=1)
+    p.add_argument("--phosc", type=int, default=0)
+    p.add_argument("--phos", type=int, default=0)
+    p.add_argument("--ocrTraining", type=int, default=0)
+    p.add_argument("--wrdChrWrStyl", type=int, default=0)
+    p.add_argument("--augMaps", type=int, default=0)
+    p.add_argument("--vaeFromDict", type=int, default=0)
+    p.add_argument("--latent_cache", default="", help="npz from latent-cache builder")
+    p.add_argument("--stable_dif_path", default="",
+                   help="diffusers VAE checkpoint (safetensors) to load")
+    p.add_argument("--stopFlagFile", default="")
+    p.add_argument("--loadPrev", type=int, default=0)
+    p.add_argument("--partialLoad", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh_data", type=int, default=-1)
+    p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on the synthetic corpus (no image dir needed)")
+    return p
+
+
+def experiment_from_args(args) -> "Experiment":
+    from ..configs import presets
+    from ..configs.config import MeshConfig
+
+    exp = presets.get(args.preset)
+    if args.phosc or args.phos:
+        exp = presets.get("iam_phosc") if args.preset == "iam" else exp
+    h, w = (int(v) for v in args.img_size.split(","))
+    exp = exp.replace(
+        data=dataclasses.replace(
+            exp.data,
+            gt_path=args.gt_train,
+            image_dir=args.iam_path,
+            img_height=h,
+            img_width=w,
+            latent=bool(args.latent),
+            latent_cache=args.latent_cache or None,
+            batch_size=args.batch_size,
+        ),
+        train=dataclasses.replace(
+            exp.train,
+            lr=args.lr,
+            epochs=args.epochs,
+            save_path=args.save_path,
+            stop_flag_file=args.stopFlagFile or None,
+            ctc_weight=0.1 if args.ocrTraining else 0.0,
+            seed=args.seed,
+        ),
+        mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
+        unet=dataclasses.replace(
+            exp.unet,
+            ocr_head=bool(args.ocrTraining),
+            style_vec_dim=4096 if args.wrdChrWrStyl else 0,
+            in_channels=4 if args.latent else 3,
+            out_channels=4 if args.latent else 3,
+        ),
+    )
+    return exp
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    args = build_parser().parse_args(argv)
+    exp = experiment_from_args(args)
+
+    from ..data.augment import random_augment
+    from ..data.dataset import LatentLookup, WordImageDataset
+    from ..data.gt import parse_gt
+    from ..data.synthetic import synthetic_corpus
+    from ..data.gt import WriterRegistry
+    from ..data.tokenizer import Tokenizer
+    from ..train.loop import Trainer
+
+    if args.synthetic or not args.gt_train:
+        samples = synthetic_corpus(samples_per_word=16)
+        registry = WriterRegistry()
+        for s in samples:
+            registry.add(s.writer)
+    else:
+        samples, registry = parse_gt(args.gt_train, partial_load=args.partialLoad)
+    if args.save_path:
+        import os
+
+        os.makedirs(args.save_path, exist_ok=True)
+        # writers_dict_train.json compat (trainModifyCondition.py:1061-1064)
+        registry.dump_json(f"{args.save_path}/writers_dict_train.json")
+
+    tokenizer = Tokenizer.from_name(exp.data.alphabet, exp.data.max_chars)
+    cache = LatentLookup.load(args.latent_cache) if args.latent_cache else None
+    dataset = WordImageDataset(
+        samples, registry, tokenizer, exp.data,
+        use_phosc=exp.unet.use_phosc,
+        latent_cache=cache,
+        augment_fn=random_augment if args.augMaps else None,
+        ocr_alphabet=None,
+        seed=args.seed,
+    )
+
+    encode_fn = None
+    if exp.data.latent and cache is None:
+        import jax
+
+        from ..models.vae import AutoencoderKL, encode_to_latent
+        from ..models.vae import convert_diffusers_vae
+
+        vae = AutoencoderKL(exp.vae)
+        if args.stable_dif_path:
+            from safetensors.numpy import load_file
+
+            vae_params = convert_diffusers_vae(load_file(args.stable_dif_path), exp.vae)
+        else:
+            logging.warning("no --stable_dif_path: using randomly initialised VAE")
+            vae_params = vae.init(
+                jax.random.PRNGKey(0),
+                np.zeros((1, exp.data.img_height, exp.data.img_width, 3), np.float32),
+                jax.random.PRNGKey(0),
+            )
+        enc = jax.jit(lambda imgs, rng: encode_to_latent(vae, vae_params, imgs, rng))
+        encode_fn = lambda imgs, rng: enc(imgs, rng)
+
+    import os
+
+    os.makedirs(args.save_path, exist_ok=True)
+    trainer = Trainer(exp, dataset, encode_fn=encode_fn)
+    trainer.run(epochs=args.epochs, resume=bool(args.loadPrev))
+
+
+if __name__ == "__main__":
+    main()

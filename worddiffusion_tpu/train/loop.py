@@ -1,0 +1,146 @@
+"""The training driver: epochs, checkpoints, previews, stop-flag.
+
+Orchestrates the pure jitted step (``train/step.py``) around host-side
+concerns, mirroring the reference trainer behaviours (SURVEY.md §3.1):
+stop-flag polling, every-N-epoch checkpointing (default 5,
+``trainModifyCondition.py:813-824``), fixed-word preview sampling with
+the EMA weights (``train.py:298-313``), and warm-start from the latest
+checkpoint (``--loadPrev``).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ..configs.config import Experiment
+from ..data.dataset import WordImageDataset
+from ..data.loader import epoch_batches
+from ..diffusion.schedule import NoiseSchedule
+from ..models.unet import UNet
+from ..parallel.mesh import make_mesh, replicated, shard_batch
+from ..utils.stop_flag import StopFlag
+from .checkpoint import CheckpointManager
+from .state import TrainState, make_optimizer
+from .step import jit_train_step, make_train_step
+
+log = logging.getLogger("worddiffusion")
+
+PREVIEW_WORDS = ["text", "getting", "prop"]  # reference train.py:307
+
+
+class Trainer:
+    def __init__(
+        self,
+        exp: Experiment,
+        dataset: WordImageDataset,
+        encode_fn: Optional[Callable] = None,
+        preview_fn: Optional[Callable] = None,
+        mesh=None,
+    ):
+        """``encode_fn(batch, rng) -> latent [B,8,32,4]`` maps image
+        batches into the diffusion space (VAE encode); identity-like
+        passthrough is used when batches already carry latents.
+        ``preview_fn(state, epoch)`` renders the fixed probe words."""
+        self.exp = exp
+        self.dataset = dataset
+        self.encode_fn = encode_fn
+        self.preview_fn = preview_fn
+        self.mesh = mesh or make_mesh(exp.mesh)
+        self.schedule = NoiseSchedule.linear(
+            exp.diffusion.num_steps, exp.diffusion.beta_start, exp.diffusion.beta_end
+        )
+        self.model = UNet(exp.unet)
+        self.tx = make_optimizer(exp.train.lr, exp.train.weight_decay)
+        self.ckpt = CheckpointManager(f"{exp.train.save_path}/ckpt")
+        self.stop = StopFlag(exp.train.stop_flag_file)
+
+    def init_state(self, sample_batch: dict) -> TrainState:
+        rng = jax.random.PRNGKey(self.exp.train.seed)
+        b = sample_batch
+        latent = b.get("latent")
+        if latent is None:
+            latent = np.zeros(
+                (2, self.exp.data.img_height // 8, self.exp.data.img_width // 8, 4),
+                np.float32,
+            )
+        params = self.model.init(
+            rng,
+            jax.numpy.asarray(latent[:2]),
+            jax.numpy.zeros((2,), jax.numpy.int32),
+            jax.numpy.asarray(b["context"][:2]),
+            jax.numpy.asarray(b["writer"][:2]),
+            phosc_ids=(
+                jax.numpy.asarray(b["phosc"][:2]) if "phosc" in b else None
+            ),
+        )
+        state = TrainState.create(params, self.tx)
+        return jax.device_put(
+            state,
+            jax.tree_util.tree_map(lambda _: replicated(self.mesh), state),
+        )
+
+    def _device_batch(self, batch: dict, rng) -> dict:
+        keep = {}
+        if "latent" in batch:
+            keep["latent"] = batch["latent"]
+        elif self.encode_fn is not None:
+            keep["latent"] = np.asarray(self.encode_fn(batch["image"], rng))
+        else:
+            keep["latent"] = batch["image"]
+        for k in ("context", "writer", "phosc", "ocr_ids", "ocr_len"):
+            if k in batch:
+                keep[k] = batch[k]
+        return shard_batch(keep, self.mesh)
+
+    def run(self, epochs: Optional[int] = None, resume: bool = False) -> TrainState:
+        tcfg = self.exp.train
+        epochs = epochs if epochs is not None else tcfg.epochs
+        first = next(
+            epoch_batches(self.dataset, self.exp.data.batch_size, epoch=0, seed=tcfg.seed)
+        )
+        state = self.init_state(first)
+        if resume and self.ckpt.latest_step() is not None:
+            state = self.ckpt.restore(state)
+            log.info("resumed from step %s", int(state.step))
+
+        step_fn = jit_train_step(
+            make_train_step(self.model, self.schedule, self.exp, self.tx),
+            self.mesh,
+            state,
+        )
+        rng = jax.random.PRNGKey(tcfg.seed + 1)
+        history = []
+        stopped = False
+        for epoch in range(epochs):
+            t0 = time.time()
+            losses = []
+            for batch in epoch_batches(
+                self.dataset, self.exp.data.batch_size, epoch=epoch, seed=tcfg.seed
+            ):
+                if self.stop.should_stop():
+                    log.info("stop flag raised; finishing at epoch %d", epoch)
+                    stopped = True
+                    break
+                db = self._device_batch(batch, jax.random.fold_in(rng, int(state.step)))
+                state, metrics = step_fn(state, db, rng)
+                losses.append(metrics["loss"])
+            if losses:
+                mean_loss = float(np.mean([np.asarray(l) for l in losses]))
+                history.append(mean_loss)
+                log.info(
+                    "epoch %d: loss %.4f (%d steps, %.1fs)",
+                    epoch, mean_loss, len(losses), time.time() - t0,
+                )
+            if stopped or (epoch + 1) % tcfg.ckpt_every_epochs == 0 or epoch == epochs - 1:
+                self.ckpt.save(int(state.step), state,
+                               {"loss": history[-1] if history else 0.0})
+            if self.preview_fn is not None and (epoch + 1) % tcfg.ckpt_every_epochs == 0:
+                self.preview_fn(state, epoch)
+            if stopped:
+                break
+        return state
