@@ -1,0 +1,73 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from worddiffusion_tpu.configs.config import UNetConfig
+from worddiffusion_tpu.eval.fid import (
+    compute_features,
+    fid_score,
+    frechet_distance,
+    gaussian_stats,
+)
+from worddiffusion_tpu.models.higan import HiGanGenerator
+from worddiffusion_tpu.utils.metrics import MetricsLogger, StepTimer
+
+
+def test_fid_zero_for_identical():
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(500, 16))
+    assert fid_score(feats, feats.copy()) < 1e-6
+
+
+def test_fid_grows_with_shift():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(500, 16))
+    b = a + 1.0
+    c = a + 3.0
+    assert fid_score(a, b) < fid_score(a, c)
+    # mean shift of d in every dim -> FID ~= 16*d^2
+    assert abs(fid_score(a, b) - 16.0) < 1.5
+
+
+def test_compute_features():
+    feats = compute_features(lambda x: x.mean(axis=(1, 2)),
+                             [np.ones((2, 4, 4, 3)), np.zeros((3, 4, 4, 3))])
+    assert feats.shape == (5, 3)
+
+
+def test_higan_generator_forward_and_grad():
+    cfg = UNetConfig(model_channels=32, context_dim=32, vocab_size=54,
+                     num_writers=8, max_seq_len=10, dtype="float32")
+    model = HiGanGenerator(cfg, num_blocks=2)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 8, 32, 4))
+    ids = jax.random.randint(rng, (2, 10), 0, 53)
+    tlen = jnp.array([4, 7])
+    t = jnp.array([5, 100])
+    wid = jnp.array([0, 3])
+    params = model.init(rng, x, ids, tlen, t, wid)
+    out = model.apply(params, x, ids, tlen, t, wid)
+    assert out.shape == x.shape
+    # zero-init out conv -> identity-zero at init
+    assert np.allclose(np.asarray(out), 0.0)
+
+    g = jax.grad(lambda p: jnp.mean((model.apply(p, x, ids, tlen, t, wid) - 1) ** 2))(params)
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
+def test_metrics_logger_and_timer(tmp_path):
+    import json
+
+    path = str(tmp_path / "metrics.jsonl")
+    m = MetricsLogger(path)
+    m.log(1, loss=0.5)
+    m.log(2, loss=0.25, mse=0.2)
+    m.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["step"] == 1 and lines[1]["mse"] == 0.2
+
+    timer = StepTimer()
+    assert timer.tick() is None
+    dt = timer.tick()
+    assert dt is not None and timer.step_time_ema is not None

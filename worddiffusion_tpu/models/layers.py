@@ -47,22 +47,34 @@ def char_positional_encoding(max_seq_len: int, dim: int) -> jax.Array:
 
 class GroupNorm32(nn.Module):
     """GroupNorm(32) with fp32 statistics regardless of activation dtype
-    (reference ``GroupNorm32`` ``unet.py:429-431``)."""
+    (reference ``GroupNorm32`` ``unet.py:429-431``).
+
+    Hand-rolled instead of ``nn.GroupNorm``: statistics accumulate in
+    fp32 via the reduction dtype without materialising an fp32 copy of
+    the bf16 activation tensor — the UNet is HBM-bound, so halving norm
+    traffic matters more than op count.
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
-        x = nn.GroupNorm(
-            num_groups=min(self.num_groups, x.shape[-1]),
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x)
-        return x.astype(orig_dtype)
+        c = x.shape[-1]
+        g = min(self.num_groups, c)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xg = x.reshape(x.shape[:-1] + (g, c // g))
+        red = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        mu = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
+        var = (
+            jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red, keepdims=True)
+            - jnp.square(mu)
+        )
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        out = (xg.astype(jnp.float32) - mu) * inv
+        out = out.reshape(x.shape) * scale + bias
+        return out.astype(x.dtype)
 
 
 class Conv2D(nn.Module):
@@ -150,7 +162,10 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        # 2x nearest as broadcast+reshape (avoids the gather-based
+        # jax.image.resize lowering on TPU)
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+        x = x.reshape(b, h * 2, w * 2, c)
         return Conv2D(self.channels, dtype=self.dtype)(x)
 
 
