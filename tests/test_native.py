@@ -1,0 +1,54 @@
+import numpy as np
+import pytest
+
+from worddiffusion_tpu.data import native
+
+
+def test_fallback_paths_always_work():
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 256, (48, w, 3), np.uint8) for w in (100, 300)]
+    out = native.batch_resize_pad_normalize(imgs, 64, 256)
+    assert out.shape == (2, 64, 256, 3)
+    assert out.dtype == np.float32
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    # wide image fills the width; narrow one has white right pad
+    assert np.allclose(out[0, :, -40:], 1.0)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_parity_with_python():
+    lib = native._load()
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 256, (48, w, 3), np.uint8) for w in (100, 260, 80)]
+
+    # force-enable the native path regardless of core count
+    import worddiffusion_tpu.data.native as N
+
+    orig = N.preferred
+    N.preferred = lambda: True
+    try:
+        out_n = native.batch_resize_pad_normalize(imgs, 64, 256)
+    finally:
+        N.preferred = orig
+    from worddiffusion_tpu.utils.images import normalize_to_unit, resize_and_pad
+
+    out_p = np.stack([normalize_to_unit(resize_and_pad(i, 64, 256)) for i in imgs])
+    # bilinear kernels differ slightly (PIL uses a support-2 filter);
+    # agreement within a few grey levels everywhere
+    assert np.abs(out_n - out_p).max() < 1.0
+    assert np.abs(out_n - out_p).mean() < 0.03
+
+    # exact ops
+    u8 = rng.integers(0, 256, (4, 8, 8, 3), np.uint8)
+    assert np.allclose(
+        native.batch_normalize(u8), (u8.astype(np.float32) / 255 - 0.5) / 0.5
+    )
+    f = rng.random((4, 8, 8, 3)).astype(np.float32)
+    d = native.batch_denormalize(f).astype(int)
+    ref = (np.clip(f, 0, 1) * 255).round().astype(int)
+    assert np.abs(d - ref).max() <= 1
+
+    img = np.zeros((8, 16, 3), np.uint8)
+    native.vertical_lines(img, np.array([2, 5, 99]))
+    assert (img[:, 2] == 255).all() and (img[:, 5] == 255).all()
+    assert img[:, 3].sum() == 0
