@@ -14,7 +14,9 @@ import numpy as np
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="worddiffusion-tpu sampler")
     p.add_argument("--preset", default="iam")
-    p.add_argument("--ckpt_dir", required=True, help="orbax ckpt dir from training")
+    p.add_argument("--ckpt_dir", default="", help="orbax ckpt dir from training")
+    p.add_argument("--torch_ckpt", default="",
+                   help="reference PyTorch ckpt_*.pt / ema_*.pt to convert and sample from")
     p.add_argument("--words", default="", help="comma-separated words")
     p.add_argument("--gt_file", default="", help="regenerate every (writer,word) pair")
     p.add_argument("--writer", type=int, default=-1, help="-1: random per word")
@@ -79,8 +81,17 @@ def main(argv=None) -> None:
     from ..utils.images import crop_whitespace, denormalize_to_uint8, save_single_images
 
     exp = presets.get(args.preset)
-    state = load_state(exp, args.ckpt_dir)
-    params = state.ema_params if args.use_ema else state.params
+    if args.torch_ckpt:
+        from ..models.convert import convert_reference_unet, load_torch_checkpoint
+
+        params = convert_reference_unet(
+            load_torch_checkpoint(args.torch_ckpt), exp.unet
+        )
+    elif args.ckpt_dir:
+        state = load_state(exp, args.ckpt_dir)
+        params = state.ema_params if args.use_ema else state.params
+    else:
+        raise SystemExit("need --ckpt_dir or --torch_ckpt")
 
     vae, vae_params = (make_vae(exp, args.stable_dif_path)
                        if exp.data.latent else (None, None))

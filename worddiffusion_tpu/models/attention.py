@@ -101,7 +101,11 @@ class BasicTransformerBlock(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         def ln(name):
-            return nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name=name)
+            # epsilon 1e-5 = torch LayerNorm default (checkpoint parity)
+            return nn.LayerNorm(
+                epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
+                name=name,
+            )
 
         attn1 = CrossAttention(
             query_dim=self.dim,

@@ -1,0 +1,180 @@
+"""Reference (PyTorch) UNet checkpoint -> Flax params converter.
+
+Loads the published ``ckpt_*.pt`` / ``ema_*.pt`` state dicts of the
+reference ``UNetModel`` / ``UNetModelPhosc`` (layer inventory at
+``unet.py:1096-1478`` / ``unetPhosc.py:751-1159``) into this package's
+``UNet``. Enumerates blocks in the reference's construction order
+(conv_in; per level: num_res_blocks x [ResBlock(+SpatialTransformer)],
+Downsample between levels; middle Res/ST/Res; reversed output levels
+with Upsample), so any (channel_mult, num_res_blocks,
+attention_resolutions) combination converts.
+
+Weight-layout transforms: conv OIHW->HWIO, linear [out,in]->[in,out],
+GroupNorm/LayerNorm weight->scale. The reference's dead parameters
+(``to_kv``, ``attnc``, and ``norm1`` in the research variant whose
+forward never uses it, ``unet.py:337-341``) are dropped.
+
+Numerical parity is proven by ``tests/test_convert.py``, which runs the
+actual reference torch module against the converted Flax model.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+from ..configs.config import UNetConfig
+
+
+def _t(w) -> np.ndarray:
+    return np.asarray(w, dtype=np.float32)
+
+
+def _conv(sd, prefix):
+    return {
+        "Conv_0": {
+            "kernel": _t(sd[prefix + ".weight"]).transpose(2, 3, 1, 0),
+            "bias": _t(sd[prefix + ".bias"]),
+        }
+    }
+
+
+def _dense(sd, prefix, bias=True):
+    out = {"Dense_0": {"kernel": _t(sd[prefix + ".weight"]).T}}
+    if bias:
+        out["Dense_0"]["bias"] = _t(sd[prefix + ".bias"])
+    return out
+
+
+def _gn(sd, prefix):
+    return {"scale": _t(sd[prefix + ".weight"]), "bias": _t(sd[prefix + ".bias"])}
+
+
+def _ln(sd, prefix):
+    return {"scale": _t(sd[prefix + ".weight"]), "bias": _t(sd[prefix + ".bias"])}
+
+
+def _resblock(sd, prefix):
+    out = {
+        "in_norm": _gn(sd, prefix + ".in_layers.0"),
+        "in_conv": _conv(sd, prefix + ".in_layers.2"),
+        "emb_proj": _dense(sd, prefix + ".emb_layers.1"),
+        "out_norm": _gn(sd, prefix + ".out_layers.0"),
+        "out_conv": _conv(sd, prefix + ".out_layers.3"),
+    }
+    if prefix + ".skip_connection.weight" in sd:
+        out["skip"] = _conv(sd, prefix + ".skip_connection")
+    return out
+
+
+def _attn(sd, prefix):
+    return {
+        "to_q": _dense(sd, prefix + ".to_q", bias=False),
+        "to_k": _dense(sd, prefix + ".to_k", bias=False),
+        "to_v": _dense(sd, prefix + ".to_v", bias=False),
+        "to_out": _dense(sd, prefix + ".to_out.0"),
+    }
+
+
+def _spatial_transformer(sd, prefix, cfg: UNetConfig, depth: int):
+    out = {
+        "norm": _gn(sd, prefix + ".norm"),
+        "proj_in": _conv(sd, prefix + ".proj_in"),
+        "proj_out": _conv(sd, prefix + ".proj_out"),
+    }
+    for d in range(depth):
+        tb = f"{prefix}.transformer_blocks.{d}"
+        block = {
+            "attn1": _attn(sd, tb + ".attn1"),
+            "attn2": _attn(sd, tb + ".attn2"),
+            "norm2": _ln(sd, tb + ".norm2"),
+            "norm3": _ln(sd, tb + ".norm3"),
+            "ff": {
+                # Dense is a wrapper module: path is <name>/Dense_0/...
+                "GEGLU_0": {"Dense_0": _dense(sd, tb + ".ff.net.0.proj")},
+                "Dense_0": _dense(sd, tb + ".ff.net.2"),
+            },
+        }
+        if not cfg.attn1_cross:
+            # wordstylist variant actually uses norm1 for self-attn
+            block["norm1"] = _ln(sd, tb + ".norm1")
+        out[f"block_{d}"] = block
+    return out
+
+
+def convert_reference_unet(
+    sd: Mapping[str, "np.ndarray"], cfg: UNetConfig
+) -> dict:
+    """torch state dict (tensors or ndarrays) -> {'params': ...}."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    p: dict = {}
+
+    p["time_mlp_1"] = _dense(sd, "time_embed.0")
+    p["time_mlp_2"] = _dense(sd, "time_embed.2")
+    if "label_emb.weight" in sd:
+        p["label_emb"] = {"embedding": _t(sd["label_emb.weight"])}
+    p["word_emb"] = {
+        "embedding": {"embedding": _t(sd["word_emb.embedding.weight"])},
+        "attention": {
+            "linear_query": _dense(sd, "word_emb.attention.linear_query"),
+            "linear_key": _dense(sd, "word_emb.attention.linear_key"),
+            "linear_value": _dense(sd, "word_emb.attention.linear_value"),
+        },
+    }
+    if "wrd_proj.weight" in sd and cfg.style_vec_dim:
+        p["style_proj"] = {"wrd_proj": _dense(sd, "wrd_proj")}
+
+    depth = cfg.transformer_depth
+    p["conv_in"] = _conv(sd, "input_blocks.0.0")
+
+    idx = 1
+    ds = 1
+    for level in range(len(cfg.channel_mult)):
+        for i in range(cfg.num_res_blocks):
+            p[f"in_{level}_{i}_res"] = _resblock(sd, f"input_blocks.{idx}.0")
+            if ds in cfg.attention_resolutions:
+                p[f"in_{level}_{i}_attn"] = _spatial_transformer(
+                    sd, f"input_blocks.{idx}.1", cfg, depth
+                )
+            idx += 1
+        if level != len(cfg.channel_mult) - 1:
+            # Down/Upsample contain an auto-named Conv2D wrapper
+            p[f"down_{level}"] = {"Conv2D_0": _conv(sd, f"input_blocks.{idx}.0.op")}
+            idx += 1
+            ds *= 2
+
+    p["mid_res1"] = _resblock(sd, "middle_block.0")
+    p["mid_attn"] = _spatial_transformer(sd, "middle_block.1", cfg, depth)
+    p["mid_res2"] = _resblock(sd, "middle_block.2")
+
+    idx = 0
+    for level in reversed(range(len(cfg.channel_mult))):
+        for i in range(cfg.num_res_blocks + 1):
+            p[f"out_{level}_{i}_res"] = _resblock(sd, f"output_blocks.{idx}.0")
+            layer = 1
+            if ds in cfg.attention_resolutions:
+                p[f"out_{level}_{i}_attn"] = _spatial_transformer(
+                    sd, f"output_blocks.{idx}.{layer}", cfg, depth
+                )
+                layer += 1
+            if level and i == cfg.num_res_blocks:
+                p[f"up_{level}"] = {
+                    "Conv2D_0": _conv(sd, f"output_blocks.{idx}.{layer}.conv")
+                }
+                ds //= 2
+            idx += 1
+
+    p["out_norm"] = _gn(sd, "out.0")
+    p["out_conv"] = _conv(sd, "out.2")
+    return {"params": p}
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Read a reference .pt checkpoint into numpy (cpu torch)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() for k, v in sd.items()}

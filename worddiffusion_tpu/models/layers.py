@@ -170,11 +170,18 @@ class Upsample(nn.Module):
 
 
 class Downsample(nn.Module):
-    """3x3 stride-2 conv (``unet.py:515-551``, conv_resample=True)."""
+    """3x3 stride-2 conv (``unet.py:515-551``, conv_resample=True).
+
+    Explicit (1,1) padding: torch's ``padding=1`` is symmetric, while
+    SAME would pad (0,1) for even inputs — parity with reference
+    checkpoints requires the torch layout."""
 
     channels: int
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return Conv2D(self.channels, strides=(2, 2), dtype=self.dtype)(x)
+        return Conv2D(
+            self.channels, strides=(2, 2), padding=((1, 1), (1, 1)),
+            dtype=self.dtype,
+        )(x)
