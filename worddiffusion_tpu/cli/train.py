@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on the synthetic corpus (no image dir needed)")
+    p.add_argument("--hiGanArch", type=int, default=0,
+                   help="1: BigGAN-style generator as the denoiser")
     return p
 
 
@@ -152,7 +154,12 @@ def main(argv=None) -> None:
     import os
 
     os.makedirs(args.save_path, exist_ok=True)
-    trainer = Trainer(exp, dataset, encode_fn=encode_fn)
+    model = None
+    if args.hiGanArch:
+        from ..models.higan import HiGanDenoiserAdapter
+
+        model = HiGanDenoiserAdapter(exp.unet)
+    trainer = Trainer(exp, dataset, encode_fn=encode_fn, model=model)
     trainer.run(epochs=args.epochs, resume=bool(args.loadPrev))
 
 

@@ -1,0 +1,115 @@
+"""CTC OCR recognizer trainer — produces the frozen recognizer used by
+the regeneration accept/reject filter (the reference loads pretrained
+HTRNet weights from the author's cluster,
+``regenerateFromtrain2.py:1121``; here the recognizer is trainable
+in-repo).
+
+  python -m worddiffusion_tpu.cli.train_ocr --synthetic 1 --epochs 5 \
+      --save_dir ./runs/ocr
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    p = argparse.ArgumentParser()
+    p.add_argument("--gt_train", default="")
+    p.add_argument("--image_dir", default="")
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--save_dir", default="./runs/ocr")
+    p.add_argument("--lang", default="eng", choices=["eng", "nor"])
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import orbax.checkpoint as ocp
+
+    from ..data.alphabets import OCR_ENG, OCR_ENG_BLANK, OCR_NOR, OCR_NOR_BLANK
+    from ..data.gt import WriterRegistry, parse_gt
+    from ..data.synthetic import render_word, synthetic_corpus
+    from ..ops.ctc import collapse_and_decode, ctc_loss, encode_ocr_labels, greedy_frame_ids
+    from ..models.ocr import CTCRecognizer
+    from ..utils.images import normalize_to_unit, resize_and_pad
+
+    alphabet = OCR_ENG if args.lang == "eng" else OCR_NOR
+    blank = OCR_ENG_BLANK if args.lang == "eng" else OCR_NOR_BLANK
+
+    if args.synthetic or not args.gt_train:
+        samples = synthetic_corpus(samples_per_word=32)
+    else:
+        samples, _ = parse_gt(args.gt_train)
+
+    def load(s):
+        import os as _os
+
+        from PIL import Image
+
+        path = _os.path.join(args.image_dir, s.image) if args.image_dir else ""
+        if path and _os.path.exists(path):
+            arr = np.asarray(Image.open(path).convert("L"))[..., None]
+        else:
+            arr = render_word(s.word, 64, 256, seed=abs(hash(s.image)) % 2**31)[..., :1]
+        return normalize_to_unit(resize_and_pad(arr, 64, 256))
+
+    model = CTCRecognizer(num_classes=len(alphabet))
+    rng = jax.random.PRNGKey(args.seed)
+    params = model.init(rng, np.zeros((1, 64, 256, 1), np.float32))
+    tx = optax.adam(args.lr)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, imgs, labels, lens, drng):
+        def loss_fn(p):
+            logits = model.apply(p, imgs, deterministic=False,
+                                 rngs={"dropout": drng})
+            return jnp.mean(ctc_loss(logits, labels, lens, blank_id=blank))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    np_rng = np.random.default_rng(args.seed)
+    os.makedirs(args.save_dir, exist_ok=True)
+    mgr = ocp.CheckpointManager(
+        os.path.abspath(os.path.join(args.save_dir, "ckpt")),
+        options=ocp.CheckpointManagerOptions(max_to_keep=2, create=True),
+    )
+    gstep = 0
+    for epoch in range(args.epochs):
+        order = np_rng.permutation(len(samples))
+        losses = []
+        for start in range(0, len(samples) - args.batch_size + 1, args.batch_size):
+            batch = [samples[i] for i in order[start : start + args.batch_size]]
+            imgs = jnp.asarray(np.stack([load(s) for s in batch]))
+            labels, lens = encode_ocr_labels([s.word for s in batch], alphabet, 42)
+            params, opt, loss = step(
+                params, opt, imgs, jnp.asarray(labels), jnp.asarray(lens),
+                jax.random.fold_in(rng, gstep),
+            )
+            losses.append(float(loss))
+            gstep += 1
+        # quick greedy-decode accuracy on the last batch
+        logits = model.apply(params, imgs)
+        words = collapse_and_decode(np.asarray(greedy_frame_ids(logits)), alphabet)
+        acc = float(np.mean([w == s.word for w, s in zip(words, batch)]))
+        logging.info("epoch %d loss %.4f last-batch exact-match %.3f",
+                     epoch, float(np.mean(losses)), acc)
+        mgr.save(gstep, args=ocp.args.StandardSave(params))
+    mgr.wait_until_finished()
+    logging.info("saved OCR recognizer to %s/ckpt", args.save_dir)
+
+
+if __name__ == "__main__":
+    main()

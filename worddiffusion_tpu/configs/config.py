@@ -51,6 +51,19 @@ class UNetConfig:
     # Writer style feature vector projected into the context
     # (``unet.py:1243`` wrd_proj 4096->320); 0 disables.
     style_vec_dim: int = 0
+    # Attention-map return (reference ``--attentionMaps``,
+    # ``unet.py:1756-1779``): maps are exposed through the flax
+    # 'intermediates' collection.
+    return_attn: bool = False
+    # Image-latent conditioning experiment (``--imgConditioned``,
+    # ``unet.py:886-1049`` ResBlockConditional): reference latents are
+    # concatenated to x_t on the channel axis at conv_in.
+    img_conditioned: bool = False
+    # Per-character glyph-image conditioning (``--charImages``,
+    # ``unet.py:1517-1541``): glyph crops are conv-encoded into extra
+    # context tokens.
+    use_char_images: bool = False
+    char_image_size: tuple = (16, 16)
     # Auxiliary CTC OCR head on the final feature map
     # (``unet.py:1054-1092`` CTCtopC).
     ocr_head: bool = False

@@ -57,6 +57,7 @@ class CrossAttention(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False
+    sow_attn: bool = False
 
     @nn.compact
     def __call__(
@@ -77,7 +78,21 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, nk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         v = v.reshape(b, nk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
-        out = _attend(q, k, v, self.dim_head ** -0.5, self.use_pallas)
+        if self.sow_attn:
+            # attention-map return option (reference --attentionMaps,
+            # ``unet.py:208-279``): expose [B, heads, Nq, Nk] via the
+            # flax 'intermediates' collection
+            sim = jnp.einsum(
+                "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+            ) * (self.dim_head ** -0.5)
+            attn = jax.nn.softmax(sim, axis=-1)
+            self.sow("intermediates", "attn", attn)
+            out = jnp.einsum(
+                "bhij,bhjd->bhid", attn.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(v.dtype)
+        else:
+            out = _attend(q, k, v, self.dim_head ** -0.5, self.use_pallas)
         out = out.transpose(0, 2, 1, 3).reshape(b, nq, inner)
         out = Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -92,6 +107,7 @@ class BasicTransformerBlock(nn.Module):
     attn1_cross: bool = True
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False
+    sow_attn: bool = False
 
     @nn.compact
     def __call__(
@@ -115,6 +131,7 @@ class BasicTransformerBlock(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            sow_attn=self.sow_attn,
             name="attn1",
         )
         attn2 = CrossAttention(
@@ -125,6 +142,7 @@ class BasicTransformerBlock(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            sow_attn=self.sow_attn,
             name="attn2",
         )
         ff = FeedForward(self.dim, dropout=self.dropout, dtype=self.dtype, name="ff")
@@ -156,6 +174,7 @@ class SpatialTransformer(nn.Module):
     attn1_cross: bool = True
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False
+    sow_attn: bool = False
     remat: bool = False
 
     @nn.compact
@@ -185,6 +204,7 @@ class SpatialTransformer(nn.Module):
                 attn1_cross=self.attn1_cross,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                sow_attn=self.sow_attn,
                 name=f"block_{i}",
             )(x, context, deterministic)
 

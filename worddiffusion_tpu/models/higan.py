@@ -52,6 +52,38 @@ class CondResBlock(nn.Module):
         return x + h
 
 
+class HiGanDenoiserAdapter(nn.Module):
+    """Exposes the UNet call signature so the generator drops into the
+    standard train step / sampler (``--hiGanArch 1``). ``text_len`` is
+    derived from the PAD tail of the context ids."""
+
+    cfg: UNetConfig
+    num_blocks: int = 6
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        t: jax.Array,
+        context_ids: jax.Array = None,
+        writer_id: jax.Array = None,
+        phosc_ids=None,
+        style_vec=None,
+        writer_mask=None,
+        writer_id2=None,
+        mix_rate=None,
+        cond_latents=None,
+        char_images=None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        from ..data.tokenizer import PAD_TOKEN
+
+        text_len = jnp.sum((context_ids != PAD_TOKEN).astype(jnp.int32), axis=1)
+        return HiGanGenerator(self.cfg, self.num_blocks, name="generator")(
+            x, context_ids, text_len, t, writer_id
+        )
+
+
 class HiGanGenerator(nn.Module):
     """x_t + (text, text_len, t, writer) -> predicted noise."""
 

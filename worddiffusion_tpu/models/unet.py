@@ -98,6 +98,7 @@ class UNet(nn.Module):
             attn1_cross=cfg.attn1_cross,
             dtype=jnp.dtype(cfg.dtype),
             use_pallas=cfg.use_pallas_attention,
+            sow_attn=cfg.return_attn,
             remat=cfg.remat,
             name=name,
         )
@@ -112,6 +113,10 @@ class UNet(nn.Module):
         phosc_ids: Optional[jax.Array] = None,
         style_vec: Optional[jax.Array] = None,
         writer_mask: Optional[jax.Array] = None,
+        writer_id2: Optional[jax.Array] = None,
+        mix_rate: Optional[jax.Array] = None,
+        cond_latents: Optional[jax.Array] = None,
+        char_images: Optional[jax.Array] = None,
         deterministic: bool = True,
     ):
         cfg = self.cfg
@@ -127,13 +132,21 @@ class UNet(nn.Module):
             # clamp instead of silent NaN on out-of-range ids (torch
             # would device-assert; XLA gathers garbage)
             writer_id = jnp.clip(writer_id, 0, cfg.num_writers - 1)
-            w_emb = nn.Embed(
+            label_emb = nn.Embed(
                 cfg.num_writers,
                 time_embed_dim,
                 dtype=dtype,
                 param_dtype=jnp.float32,
                 name="label_emb",
-            )(writer_id)
+            )
+            w_emb = label_emb(writer_id)
+            if writer_id2 is not None and mix_rate is not None:
+                # style interpolation between two writers
+                # (``--interpolation`` + mix_rate, ``unetPhosc.py:
+                # 1095-1112``)
+                w2 = label_emb(jnp.clip(writer_id2, 0, cfg.num_writers - 1))
+                r = jnp.asarray(mix_rate, w_emb.dtype).reshape(-1, 1)
+                w_emb = (1.0 - r) * w_emb + r * w2
             if writer_mask is not None:
                 # traced classifier-free drop of the writer conditioning
                 # (reference ``train.py:284-285`` labels=None path)
@@ -159,8 +172,25 @@ class UNet(nn.Module):
                     cfg.context_dim, dtype=dtype, name="style_proj"
                 )(style_vec.astype(dtype))
                 context = jnp.concatenate([context, style_tok], axis=1)
+            if cfg.use_char_images and char_images is not None:
+                # glyph crops [B, L, gh, gw, 1] -> conv tokens appended
+                # to the context (charImages path, ``unet.py:1517-1541``)
+                b_, L, gh, gw, cc = char_images.shape
+                g = char_images.reshape(b_ * L, gh, gw, cc).astype(dtype)
+                g = Conv2D(32, strides=(2, 2), dtype=dtype, name="glyph_conv1")(g)
+                g = nn.silu(g)
+                g = Conv2D(64, strides=(2, 2), dtype=dtype, name="glyph_conv2")(g)
+                g = nn.silu(g)
+                g = g.mean(axis=(1, 2))
+                g = Dense(cfg.context_dim, dtype=dtype, name="glyph_proj")(g)
+                context = jnp.concatenate(
+                    [context, g.reshape(b_, L, cfg.context_dim)], axis=1
+                )
 
         # --- UNet trunk ---------------------------------------------------
+        if cfg.img_conditioned and cond_latents is not None:
+            # reference-latent conditioning: channel concat at conv_in
+            x = jnp.concatenate([x, cond_latents.astype(x.dtype)], axis=-1)
         h = Conv2D(cfg.model_channels, dtype=dtype, name="conv_in")(x.astype(dtype))
         hs = [h]
         ch = cfg.model_channels

@@ -41,6 +41,7 @@ class Trainer:
         encode_fn: Optional[Callable] = None,
         preview_fn: Optional[Callable] = None,
         mesh=None,
+        model=None,
     ):
         """``encode_fn(batch, rng) -> latent [B,8,32,4]`` maps image
         batches into the diffusion space (VAE encode); identity-like
@@ -54,7 +55,7 @@ class Trainer:
         self.schedule = NoiseSchedule.linear(
             exp.diffusion.num_steps, exp.diffusion.beta_start, exp.diffusion.beta_end
         )
-        self.model = UNet(exp.unet)
+        self.model = model if model is not None else UNet(exp.unet)
         self.tx = make_optimizer(exp.train.lr, exp.train.weight_decay)
         self.ckpt = CheckpointManager(f"{exp.train.save_path}/ckpt")
         self.stop = StopFlag(exp.train.stop_flag_file)

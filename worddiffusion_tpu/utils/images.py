@@ -23,14 +23,16 @@ from PIL import Image
 def resize_and_pad(
     img: np.ndarray, height: int = 64, width: int = 256, pad_value: int = 255
 ) -> np.ndarray:
-    """uint8 HWC -> [height, width, C]: scale to target height (and down
-    to target width if needed), right-pad with white."""
-    pil = Image.fromarray(img)
+    """uint8 HWC (or HW / HW1) -> [height, width, ...]: scale to target
+    height (and down to target width if needed), right-pad with white."""
+    squeeze = img.ndim == 3 and img.shape[2] == 1
+    pil = Image.fromarray(img[..., 0] if squeeze else img)
     w, h = pil.size
     new_w = max(1, min(width, int(round(w * height / h))))
     pil = pil.resize((new_w, height), Image.BILINEAR)
     canvas = np.full((height, width) + img.shape[2:], pad_value, np.uint8)
-    canvas[:, :new_w] = np.asarray(pil)
+    arr = np.asarray(pil)
+    canvas[:, :new_w] = arr[..., None] if squeeze else arr
     return canvas
 
 
