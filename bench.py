@@ -46,9 +46,12 @@ def main() -> None:
     # warmup / compile
     out = jax.block_until_ready(run(rng, x))
 
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(run(jax.random.fold_in(rng, 2), x))
-    dt = time.perf_counter() - t0
+    # best of 3 (the axon tunnel adds occasional dispatch jitter)
+    dt = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(run(jax.random.fold_in(rng, 2 + rep), x))
+        dt = min(dt, time.perf_counter() - t0)
 
     n_chips = jax.device_count()
     imgs_per_sec_chip = BATCH / dt / n_chips

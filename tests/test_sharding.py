@@ -11,7 +11,6 @@ from worddiffusion_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     param_sharding,
-    make_mesh,
     shard_batch,
 )
 
