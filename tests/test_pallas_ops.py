@@ -51,3 +51,36 @@ def test_fused_attention_bf16():
     assert np.allclose(
         np.asarray(out_p, np.float32), np.asarray(out_x, np.float32), atol=0.05
     )
+
+
+def test_fused_groupnorm_matches_reference():
+    from worddiffusion_tpu.ops.groupnorm_pallas import fused_groupnorm
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 8, 32, 320), jnp.float32) * 2 + 0.5
+    scale = jax.random.normal(jax.random.fold_in(rng, 1), (320,))
+    bias = jax.random.normal(jax.random.fold_in(rng, 2), (320,))
+
+    def ref(x):
+        xg = x.reshape(2, 8 * 32, 32, 10)
+        mu = xg.mean(axis=(1, 3), keepdims=True)
+        var = xg.var(axis=(1, 3), keepdims=True)
+        out = (xg - mu) / jnp.sqrt(var + 1e-5)
+        return out.reshape(x.shape) * scale + bias
+
+    out = fused_groupnorm(x, scale, bias, num_groups=32)
+    assert np.allclose(np.asarray(out), np.asarray(ref(x)), atol=2e-4)
+
+    out_silu = fused_groupnorm(x, scale, bias, num_groups=32, silu=True)
+    expect = np.asarray(jax.nn.silu(ref(x)))
+    assert np.allclose(np.asarray(out_silu), expect, atol=2e-4)
+
+
+def test_fused_groupnorm_bf16():
+    from worddiffusion_tpu.ops.groupnorm_pallas import fused_groupnorm
+
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (1, 4, 16, 64), jnp.bfloat16)
+    out = fused_groupnorm(x, jnp.ones((64,)), jnp.zeros((64,)), num_groups=32, silu=True)
+    assert out.dtype == jnp.bfloat16
+    assert np.all(np.isfinite(np.asarray(out, np.float32)))
