@@ -97,3 +97,42 @@ def test_postprocess():
 
     img = latent_to_image(jnp.ones((1, 2, 2, 4)), lambda z: z * 4 - 2.0)
     assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
+
+
+def test_ddim_shapes_and_determinism():
+    from worddiffusion_tpu.diffusion.sampler import ddim_sample
+
+    sched = NoiseSchedule.linear(600)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 4, 8, 4))
+    eps_fn = lambda xx, t: 0.1 * xx
+    o1 = ddim_sample(sched, eps_fn, rng, x, num_steps=10, eta=0.0)
+    o2 = ddim_sample(sched, eps_fn, rng, x, num_steps=10, eta=0.0)
+    assert o1.shape == x.shape
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))
+    assert np.all(np.isfinite(np.asarray(o1)))
+
+
+def test_ddim_with_perfect_zero_eps_recovers_x0_scale():
+    from worddiffusion_tpu.diffusion.sampler import ddim_sample
+
+    # eps==0 -> x0 estimate = x/sqrt(a_cur); final step lands on x0
+    sched = NoiseSchedule.linear(100)
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (1, 4, 8, 2))
+    eps_fn = lambda xx, t: jnp.zeros_like(xx)
+    out = ddim_sample(sched, eps_fn, rng, x, num_steps=5, eta=0.0)
+    expected = np.asarray(x) / np.sqrt(sched.alpha_hat[99])
+    assert np.allclose(np.asarray(out), expected, rtol=1e-3)
+
+
+def test_ddim_eta_adds_noise():
+    from worddiffusion_tpu.diffusion.sampler import ddim_sample
+
+    sched = NoiseSchedule.linear(100)
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.normal(rng, (1, 4, 8, 2))
+    eps_fn = lambda xx, t: 0.05 * xx
+    det = ddim_sample(sched, eps_fn, rng, x, num_steps=8, eta=0.0)
+    sto = ddim_sample(sched, eps_fn, rng, x, num_steps=8, eta=1.0)
+    assert not np.array_equal(np.asarray(det), np.asarray(sto))

@@ -126,6 +126,60 @@ def ddpm_sample(
     return x
 
 
+def ddim_sample(
+    schedule: NoiseSchedule,
+    eps_fn: EpsFn,
+    rng: jax.Array,
+    x_init: jax.Array,
+    *,
+    num_steps: int = 50,
+    eta: float = 0.0,
+    cfg_scale: float = 0.0,
+    uncond_eps_fn: Optional[EpsFn] = None,
+) -> jax.Array:
+    """DDIM sampling over a subsampled timestep grid.
+
+    Beyond-reference performance feature: the reference's regen skip
+    schedule reuses stale eps between calls (``regenerateFromtrain2.py:
+    536``); DDIM instead integrates the probability-flow ODE across the
+    subsampled grid — the principled version of the same cost cut.
+    ``eta=0`` is deterministic; ``eta=1`` recovers DDPM-like noise.
+    One ``lax.scan``, ``num_steps`` model calls total.
+    """
+    T = schedule.num_steps
+    alpha_hat = jnp.asarray(schedule.alpha_hat)
+    # timestep grid T-1 .. 0 with num_steps points (inclusive of end)
+    ts = jnp.linspace(T - 1, 0, num_steps + 1).round().astype(jnp.int32)
+    use_cfg = cfg_scale > 0.0 and uncond_eps_fn is not None
+
+    def step(x, idx):
+        t_cur = ts[idx]
+        t_next = ts[idx + 1]
+        tb = jnp.full((x.shape[0],), t_cur, jnp.int32)
+        eps = eps_fn(x, tb)
+        if use_cfg:
+            uncond = uncond_eps_fn(x, tb)
+            eps = uncond + cfg_scale * (eps - uncond)
+        eps = eps.astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        a_cur = alpha_hat[t_cur]
+        a_next = jnp.where(t_next > 0, alpha_hat[t_next], 1.0)
+        x0 = (xf - jnp.sqrt(1.0 - a_cur) * eps) / jnp.sqrt(a_cur)
+        sigma = eta * jnp.sqrt(
+            (1.0 - a_next) / (1.0 - a_cur)
+        ) * jnp.sqrt(1.0 - a_cur / a_next)
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_next - sigma ** 2, 0.0)) * eps
+        noise = jax.random.normal(
+            jax.random.fold_in(rng, idx), x.shape, jnp.float32
+        )
+        noise = jnp.where(t_next > 0, noise, jnp.zeros_like(noise))
+        xn = jnp.sqrt(a_next) * x0 + dir_xt + sigma * noise
+        return xn.astype(x.dtype), None
+
+    x, _ = jax.lax.scan(step, x_init, jnp.arange(num_steps))
+    return x
+
+
 def latent_to_image(x: jax.Array, decode_fn, scaling: float = 0.18215) -> jax.Array:
     """VAE decode + [0,1] clamp (``train.py:239-247``). NHWC float32."""
     img = decode_fn(x / scaling)
