@@ -1,0 +1,142 @@
+"""Evaluation CLI: FID + OCR exact-match + PHOSC-ZSL over a directory
+of generated word images vs a real set — the quality gates the
+reference logs informally (SURVEY.md §6: OCR accept rate, PHOSC ZSL).
+
+  python -m worddiffusion_tpu.cli.evaluate \
+      --real_dir ./crops --fake_dir ./regen \
+      [--ocr_ckpt ./runs/ocr/ckpt] [--phosc_params ./runs/phosc/best_params.pkl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+import numpy as np
+
+
+def _load_dir(path: str, height: int, width: int, limit: int = 0):
+    """Images + the word parsed from the regen filename
+    ``{img}_{writer}_{word}.png`` (falls back to stem)."""
+    from PIL import Image
+
+    from ..utils.images import normalize_to_unit, resize_and_pad
+
+    names = sorted(
+        f for f in os.listdir(path) if f.lower().endswith((".png", ".jpg"))
+    )
+    if limit:
+        names = names[:limit]
+    imgs, words = [], []
+    for n in names:
+        arr = np.asarray(Image.open(os.path.join(path, n)).convert("RGB"))
+        imgs.append(normalize_to_unit(resize_and_pad(arr, height, width)))
+        stem = os.path.splitext(n)[0]
+        words.append(stem.rsplit("_", 1)[-1] if "_" in stem else stem)
+    return np.stack(imgs) if imgs else np.zeros((0, height, width, 3), np.float32), words
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    p = argparse.ArgumentParser()
+    p.add_argument("--real_dir", required=True)
+    p.add_argument("--fake_dir", required=True)
+    p.add_argument("--height", type=int, default=64)
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--ocr_ckpt", default="")
+    p.add_argument("--phosc_params", default="")
+    p.add_argument("--language", default="eng")
+    p.add_argument("--out", default="", help="write results json here")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.alphabets import OCR_ENG
+    from ..eval.fid import compute_features, fid_score
+    from ..models.style import StyleEncoder
+
+    real, real_words = _load_dir(args.real_dir, args.height, args.width, args.limit)
+    fake, fake_words = _load_dir(args.fake_dir, args.height, args.width, args.limit)
+    logging.info("loaded %d real / %d generated", len(real), len(fake))
+    results = {}
+
+    # FID with the in-repo style encoder as feature net (see eval/fid.py
+    # on the Inception caveat)
+    enc = StyleEncoder(dtype="float32")
+    rng = jax.random.PRNGKey(0)
+    enc_params = enc.init(rng, real[:1] if len(real) else np.zeros((1, 64, 256, 3), np.float32))
+    feat_fn = jax.jit(lambda im: enc.apply(enc_params, im))
+
+    def batches(arr):
+        for s in range(0, len(arr), args.batch_size):
+            yield jnp.asarray(arr[s : s + args.batch_size])
+
+    if len(real) > 1 and len(fake) > 1:
+        rf = compute_features(feat_fn, batches(real))
+        ff = compute_features(feat_fn, batches(fake))
+        results["fid_style_encoder"] = fid_score(rf, ff)
+
+    if args.ocr_ckpt:
+        import orbax.checkpoint as ocp
+
+        from ..models.ocr import CTCRecognizer
+        from ..ops.ctc import collapse_and_decode, greedy_frame_ids
+
+        ocr = CTCRecognizer(num_classes=len(OCR_ENG))
+        ocr_vars = ocr.init(rng, np.zeros((1, args.height, args.width, 1), np.float32))
+        mgr = ocp.CheckpointManager(os.path.abspath(args.ocr_ckpt))
+        ocr_vars = mgr.restore(mgr.latest_step(), args=ocp.args.StandardRestore(ocr_vars))
+        ocr_fn = jax.jit(lambda im: ocr.apply(ocr_vars, im))
+        hits = 0
+        for s in range(0, len(fake), args.batch_size):
+            chunk = fake[s : s + args.batch_size]
+            logits = ocr_fn(jnp.asarray(chunk[..., :1]))
+            decoded = collapse_and_decode(np.asarray(greedy_frame_ids(logits)), OCR_ENG)
+            hits += sum(d == w for d, w in zip(decoded, fake_words[s : s + len(chunk)]))
+        results["ocr_exact_match"] = hits / max(len(fake), 1)
+
+    if args.phosc_params:
+        import pickle
+
+        from ..eval.zsl import zsl_accuracy
+        from ..models.phoscnet import PHOSCNet
+        from ..data.alphabets import phoc_dim, phos_dim
+
+        with open(args.phosc_params, "rb") as f:
+            pp = pickle.load(f)
+        net = PHOSCNet(phos_size=phos_dim(args.language), phoc_size=phoc_dim(args.language))
+        net_fn = jax.jit(lambda im: net.apply(pp, im))
+
+        def phosc_batches():
+            from ..utils.images import resize_and_pad
+
+            for s in range(0, len(fake), args.batch_size):
+                chunk = fake[s : s + args.batch_size]
+                # recognizer input is 50x250
+                res = np.stack([
+                    np.asarray(
+                        resize_and_pad(((c + 1) / 2 * 255).astype(np.uint8), 50, 250)
+                    ).astype(np.float32) / 127.5 - 1.0
+                    for c in chunk
+                ])
+                yield res, fake_words[s : s + len(chunk)]
+
+        acc, by_len = zsl_accuracy(
+            lambda im: net_fn(jnp.asarray(im)), phosc_batches(),
+            list(dict.fromkeys(fake_words)), args.language,
+        )
+        results["phosc_zsl_accuracy"] = acc
+
+    print(json.dumps(results))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_path", default="./samples")
     p.add_argument("--use_ema", type=int, default=1)
     p.add_argument("--cfg_scale", type=float, default=0.0)
+    p.add_argument("--ddim", type=int, default=0,
+                   help="use DDIM with N steps instead of full DDPM")
+    p.add_argument("--ddim_eta", type=float, default=0.0)
     p.add_argument("--stable_dif_path", default="")
     p.add_argument("--crop_whitespace", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
@@ -95,7 +98,8 @@ def main(argv=None) -> None:
 
     vae, vae_params = (make_vae(exp, args.stable_dif_path)
                        if exp.data.latent else (None, None))
-    sampler = WordSampler(exp, params, vae, vae_params, cfg_scale=args.cfg_scale)
+    sampler = WordSampler(exp, params, vae, vae_params, cfg_scale=args.cfg_scale,
+                          ddim_steps=args.ddim, ddim_eta=args.ddim_eta)
 
     if args.gt_file:
         from ..data.gt import parse_gt

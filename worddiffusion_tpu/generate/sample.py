@@ -33,6 +33,8 @@ class WordSampler:
         call_mask: Optional[np.ndarray] = None,
         stochastic: bool = True,
         cfg_scale: float = 0.0,
+        ddim_steps: int = 0,
+        ddim_eta: float = 0.0,
     ):
         self.exp = exp
         self.model = UNet(exp.unet)
@@ -46,6 +48,8 @@ class WordSampler:
         self.call_mask = call_mask
         self.stochastic = stochastic
         self.cfg_scale = cfg_scale
+        self.ddim_steps = ddim_steps
+        self.ddim_eta = ddim_eta
         self._compiled = {}
 
     def _run_fn(self, batch: int, latent_shape: tuple):
@@ -73,13 +77,24 @@ class WordSampler:
                             writer_mask=jnp.zeros((batch,), jnp.float32),
                         )
 
-                lat = ddpm_sample(
-                    self.schedule, eps_fn, jax.random.fold_in(rng, 1), x,
-                    stochastic=self.stochastic,
-                    call_mask=self.call_mask,
-                    cfg_scale=self.cfg_scale,
-                    uncond_eps_fn=uncond_fn,
-                )
+                if self.ddim_steps:
+                    from ..diffusion.sampler import ddim_sample
+
+                    lat = ddim_sample(
+                        self.schedule, eps_fn, jax.random.fold_in(rng, 1), x,
+                        num_steps=self.ddim_steps,
+                        eta=self.ddim_eta,
+                        cfg_scale=self.cfg_scale,
+                        uncond_eps_fn=uncond_fn,
+                    )
+                else:
+                    lat = ddpm_sample(
+                        self.schedule, eps_fn, jax.random.fold_in(rng, 1), x,
+                        stochastic=self.stochastic,
+                        call_mask=self.call_mask,
+                        cfg_scale=self.cfg_scale,
+                        uncond_eps_fn=uncond_fn,
+                    )
                 if self.vae is not None:
                     return latent_to_image(
                         lat,
