@@ -119,3 +119,19 @@ def test_regen_stop_flag(tmp_path):
 
 def test_scan_existing_empty(tmp_path):
     assert scan_existing(str(tmp_path / "nope")) == set()
+
+
+def test_sharded_sampling_over_mesh(tmp_path):
+    from worddiffusion_tpu.configs.config import MeshConfig
+    from worddiffusion_tpu.parallel.mesh import make_mesh
+
+    exp = pixel_exp(steps=8)
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    sampler = make_sampler(exp, mesh=mesh)
+    imgs = sampler.sample(["the"] * 16, list(range(16)), jax.random.PRNGKey(0))
+    assert imgs.shape == (16, 16, 32, 3)
+    assert np.all(np.isfinite(imgs.astype(np.float32)))
+    # sharded regen end-to-end
+    regen = Regenerator(sampler, out_dir=str(tmp_path / "out"))
+    stats = regen.run(corpus(), batch_size=8)
+    assert stats.accepted == 8

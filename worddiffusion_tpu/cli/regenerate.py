@@ -57,10 +57,18 @@ def main(argv=None) -> None:
         exp.diffusion.num_steps, epoch=args.epoch,
         full_sampling=bool(args.fullSampling),
     )
+    mesh = None
+    if jax.device_count() > 1:
+        from ..configs.config import MeshConfig
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(MeshConfig(data=-1, model=1))
+        logging.info("sampling sharded over %d chips", mesh.shape["data"])
     sampler = WordSampler(
         exp, params, vae, vae_params,
         call_mask=mask,
         stochastic=bool(args.fullSampling),
+        mesh=mesh,
     )
 
     ocr_apply = None

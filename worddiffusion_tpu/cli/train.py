@@ -130,7 +130,8 @@ def main(argv=None) -> None:
     )
 
     encode_fn = None
-    if exp.data.latent and cache is None:
+    vae = vae_params = None
+    if exp.data.latent:
         import jax
 
         from ..models.vae import AutoencoderKL, encode_to_latent
@@ -148,8 +149,9 @@ def main(argv=None) -> None:
                 np.zeros((1, exp.data.img_height, exp.data.img_width, 3), np.float32),
                 jax.random.PRNGKey(0),
             )
-        enc = jax.jit(lambda imgs, rng: encode_to_latent(vae, vae_params, imgs, rng))
-        encode_fn = lambda imgs, rng: enc(imgs, rng)
+        if cache is None:
+            enc = jax.jit(lambda imgs, rng: encode_to_latent(vae, vae_params, imgs, rng))
+            encode_fn = lambda imgs, rng: enc(imgs, rng)
 
     import os
 
@@ -159,7 +161,32 @@ def main(argv=None) -> None:
         from ..models.higan import HiGanDenoiserAdapter
 
         model = HiGanDenoiserAdapter(exp.unet)
-    trainer = Trainer(exp, dataset, encode_fn=encode_fn, model=model)
+
+    # epoch preview grids of the fixed probe words (reference
+    # train.py:298-313), sampled with the EMA weights
+    preview_fn = None
+    if not args.hiGanArch:
+        import jax
+
+        from ..generate.sample import WordSampler
+        from ..utils.images import save_image_grid
+
+        sampler = WordSampler(exp, None, vae, vae_params, ddim_steps=50)
+
+        def preview_fn(state, epoch):
+            sampler.params = state.ema_params
+            imgs = np.asarray(
+                sampler.sample_preview(jax.random.PRNGKey(epoch))
+            ).astype(np.float32)
+            if imgs.max() > 1.5:  # pixel-mode uint8
+                imgs = imgs / 255.0
+            save_image_grid(
+                imgs, f"{args.save_path}/images/epoch_{epoch:04d}.png", ncol=3
+            )
+
+    trainer = Trainer(
+        exp, dataset, encode_fn=encode_fn, model=model, preview_fn=preview_fn
+    )
     trainer.run(epochs=args.epochs, resume=bool(args.loadPrev))
 
 

@@ -37,7 +37,7 @@ def main(argv=None) -> None:
     import orbax.checkpoint as ocp
 
     from ..data.alphabets import OCR_ENG, OCR_ENG_BLANK, OCR_NOR, OCR_NOR_BLANK
-    from ..data.gt import WriterRegistry, parse_gt
+    from ..data.gt import parse_gt
     from ..data.synthetic import render_word, synthetic_corpus
     from ..ops.ctc import collapse_and_decode, ctc_loss, encode_ocr_labels, greedy_frame_ids
     from ..models.ocr import CTCRecognizer

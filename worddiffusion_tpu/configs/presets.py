@@ -20,7 +20,6 @@ from .config import (
     DataConfig,
     DiffusionConfig,
     Experiment,
-    TrainConfig,
     UNetConfig,
 )
 

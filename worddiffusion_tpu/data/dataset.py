@@ -23,7 +23,6 @@ import numpy as np
 
 from ..configs.config import DataConfig
 from ..utils.images import normalize_to_unit, resize_and_pad
-from .alphabets import OCR_ENG
 from .gt import Sample, WriterRegistry
 from .phosc import phosc_vector
 from .synthetic import render_word

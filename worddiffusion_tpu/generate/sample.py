@@ -8,7 +8,6 @@ to host.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax
@@ -35,8 +34,13 @@ class WordSampler:
         cfg_scale: float = 0.0,
         ddim_steps: int = 0,
         ddim_eta: float = 0.0,
+        mesh=None,
     ):
+        """``mesh``: a jax Mesh to shard sampling over its 'data' axis
+        (BASELINE config #3: full-set regeneration sharded over a
+        v5e-8 slice). Batches must divide the data-axis size."""
         self.exp = exp
+        self.mesh = mesh
         self.model = UNet(exp.unet)
         self.params = params
         self.vae = vae
@@ -104,7 +108,18 @@ class WordSampler:
                     )
                 return pixel_to_uint8(lat)
 
-            self._compiled[key] = jax.jit(run)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(self.mesh, P())
+                data = NamedSharding(self.mesh, P("data"))
+                self._compiled[key] = jax.jit(
+                    run,
+                    in_shardings=(None, rep, data, data, None),
+                    out_shardings=data,
+                )
+            else:
+                self._compiled[key] = jax.jit(run)
         return self._compiled[key]
 
     def sample(

@@ -10,7 +10,7 @@ zeros-initialised Flax param so residual branches start as identity.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -8,9 +8,8 @@ checkpoint of {params, ema_params, opt_state, step} plus retention.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from .state import TrainState

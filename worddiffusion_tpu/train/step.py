@@ -18,8 +18,6 @@ Batch dict layout (produced by ``data.loader``):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
