@@ -135,3 +135,24 @@ def test_sharded_sampling_over_mesh(tmp_path):
     regen = Regenerator(sampler, out_dir=str(tmp_path / "out"))
     stats = regen.run(corpus(), batch_size=8)
     assert stats.accepted == 8
+
+
+def test_style_interpolation_sampling():
+    exp = pixel_exp(steps=6)
+    sampler = make_sampler(exp)
+    # zero-init out conv -> all outputs equal at init; perturb
+    import jax as _jax
+
+    sampler.params = _jax.tree_util.tree_map(
+        lambda p: p + 0.01 if p.ndim == 4 else (p * 3.0 if p.ndim == 2 else p),
+        sampler.params,
+    )
+    rng = jax.random.PRNGKey(0)
+    a = sampler.sample(["the"], [0], rng)
+    b = sampler.sample(["the"], [0], rng, writer_ids2=[3], mix_rate=1.0)
+    c = sampler.sample(["the"], [3], rng)
+    # mix_rate 1.0 == pure writer 3 (exact); writer-vs-writer pixel
+    # differences are sub-quantisation for an untrained net, so the
+    # a-vs-b contrast is asserted at model level in test_unet_extras
+    assert np.array_equal(b, c)
+    assert a.shape == b.shape

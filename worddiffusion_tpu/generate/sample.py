@@ -60,14 +60,15 @@ class WordSampler:
         key = (batch, latent_shape)
         if key not in self._compiled:
 
-            def run(params, rng, ctx, wid, phosc):
+            def run(params, rng, ctx, wid, phosc, wid2=None, mix=None):
                 x = jax.random.normal(
                     jax.random.fold_in(rng, 0), (batch,) + latent_shape, jnp.float32
                 )
 
                 def eps_fn(xx, tt):
                     return self.model.apply(
-                        params, xx, tt, ctx, wid, phosc_ids=phosc
+                        params, xx, tt, ctx, wid, phosc_ids=phosc,
+                        writer_id2=wid2, mix_rate=mix,
                     )
 
                 uncond_fn = None
@@ -115,7 +116,7 @@ class WordSampler:
                 data = NamedSharding(self.mesh, P("data"))
                 self._compiled[key] = jax.jit(
                     run,
-                    in_shardings=(None, rep, data, data, None),
+                    in_shardings=(None, rep, data, data, None, None, None),
                     out_shardings=data,
                 )
             else:
@@ -128,9 +129,12 @@ class WordSampler:
         writer_ids: Sequence[int],
         rng: jax.Array,
         phosc: Optional[np.ndarray] = None,
+        writer_ids2: Optional[Sequence[int]] = None,
+        mix_rate: Optional[float] = None,
     ) -> np.ndarray:
         """-> float images [B, H, W, 3] in [0,1] (latent mode) or uint8
-        (pixel mode)."""
+        (pixel mode). ``writer_ids2`` + ``mix_rate`` interpolate between
+        two writer styles (reference ``--interpolation``)."""
         ctx = jnp.asarray(self.tokenizer.encode_batch(list(words)))
         wid = jnp.asarray(np.asarray(writer_ids, np.int32))
         if self.exp.data.latent:
@@ -141,7 +145,15 @@ class WordSampler:
             latent_shape = (self.exp.data.img_height, self.exp.data.img_width, 3)
         run = self._run_fn(len(words), latent_shape)
         ph = jnp.asarray(phosc) if phosc is not None else None
-        return np.asarray(run(self.params, rng, ctx, wid, ph))
+        wid2 = (
+            jnp.asarray(np.asarray(writer_ids2, np.int32))
+            if writer_ids2 is not None else None
+        )
+        mix = (
+            jnp.full((len(words),), mix_rate, jnp.float32)
+            if mix_rate is not None else None
+        )
+        return np.asarray(run(self.params, rng, ctx, wid, ph, wid2, mix))
 
     def sample_preview(self, rng: jax.Array, words=None, n: int = 3) -> np.ndarray:
         """Fixed-probe-word preview; writer id forced to ones like the
