@@ -156,3 +156,34 @@ def test_style_interpolation_sampling():
     # a-vs-b contrast is asserted at model level in test_unet_extras
     assert np.array_equal(b, c)
     assert a.shape == b.shape
+
+
+def test_latent_mode_sampler_with_vae(tmp_path):
+    """WordSampler latent mode: sample -> VAE decode -> [0,1] floats."""
+    from worddiffusion_tpu.configs.config import (
+        DataConfig, DiffusionConfig, Experiment, UNetConfig, VAEConfig,
+    )
+    from worddiffusion_tpu.models.vae import AutoencoderKL
+    from worddiffusion_tpu.models.unet import UNet
+
+    exp = Experiment(
+        unet=UNetConfig(model_channels=16, context_dim=16, num_heads=2,
+                        vocab_size=54, num_writers=4, max_seq_len=10,
+                        dtype="float32"),
+        vae=VAEConfig(base_channels=16, channel_mult=(1, 1, 2, 2),
+                      num_res_blocks=1, dtype="float32"),
+        data=DataConfig(max_chars=10, latent=True),
+        diffusion=DiffusionConfig(num_steps=8),
+    )
+    rng = jax.random.PRNGKey(0)
+    model = UNet(exp.unet)
+    params = model.init(rng, np.zeros((1, 8, 32, 4), np.float32),
+                        np.zeros((1,), np.int32), np.zeros((1, 10), np.int32),
+                        np.zeros((1,), np.int32))
+    vae = AutoencoderKL(exp.vae)
+    vae_params = vae.init(rng, np.zeros((1, 64, 256, 3), np.float32), rng)
+    sampler = WordSampler(exp, params, vae, vae_params, ddim_steps=4)
+    imgs = sampler.sample(["text", "prop"], [0, 1], rng)
+    assert imgs.shape == (2, 64, 256, 3)
+    assert imgs.dtype == np.float32
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
