@@ -57,6 +57,11 @@ def main(argv=None) -> None:
         exp.diffusion.num_steps, epoch=args.epoch,
         full_sampling=bool(args.fullSampling),
     )
+    # reference logs its `modelCall` counter (regenerateFromtrain2.py:642)
+    logging.info(
+        "denoiser calls per batch: %d of %d steps",
+        int(mask[1:].sum()), exp.diffusion.num_steps - 1,
+    )
     mesh = None
     if jax.device_count() > 1:
         from ..configs.config import MeshConfig
