@@ -97,3 +97,43 @@ def test_gzsl_and_split():
     unseen_words = {s.word for s in unseen}
     assert seen_words.isdisjoint(unseen_words)
     assert len(seen) + len(unseen) == len(samples)
+
+
+def test_zsl_gzsl_with_length():
+    from worddiffusion_tpu.data.phosc import phosc_vector
+    from worddiffusion_tpu.eval.zsl import zsl_gzsl_with_length
+
+    seen = ["lord", "said"]
+    unseen = ["gazing"]
+    union = seen + unseen
+    targets = ["lord", "gazing"]
+    vecs = np.stack([phosc_vector(w) for w in targets]).astype(np.float32)
+
+    def oracle(images):
+        return {"phos": jnp.asarray(vecs[:, :165]), "phoc": jnp.asarray(vecs[:, 165:])}
+
+    def counter(images):
+        # sigmoid multi-hot: predict exactly len(word) hot slots
+        out = np.zeros((2, 17), np.float32)
+        out[0, :4] = 0.9   # 'lord' -> 4
+        out[1, :5] = 0.9   # 'gazing' is 6 -> predict 5 (fuzzy hit)
+        return out
+
+    res = zsl_gzsl_with_length(
+        oracle, [(np.zeros((2, 4, 4, 3), np.float32), targets)],
+        seen, union, counter_fn=counter,
+    )
+    # 'gazing' not in the seen lexicon -> zsl 0.5; union finds both
+    assert res["zsl"] == 0.5
+    assert res["gzsl"] == 1.0
+    assert res["length_accuracy"] == 0.5
+    assert res["length_fuzzy_accuracy"] == 1.0
+
+
+def test_isolate_original():
+    from worddiffusion_tpu.data.gt import Sample
+    from worddiffusion_tpu.data.manipulate import isolate_original
+
+    samples = [Sample("a.png", "w", "x"), Sample("a_aug1.png", "w", "x")]
+    kept = isolate_original(samples)
+    assert len(kept) == 1 and kept[0].image == "a.png"

@@ -79,6 +79,15 @@ def trim_dataset(
     return out
 
 
+def isolate_original(
+    samples: Sequence[Sample],
+    is_augmented: Callable[[str], bool] = lambda name: "_aug" in name,
+) -> list[Sample]:
+    """Keep only non-augmented crops (``isolate_original.py``: filters
+    by the augmentation filename marker)."""
+    return [s for s in samples if not is_augmented(s.image)]
+
+
 def resize_dataset(
     images: Sequence[np.ndarray], height: int = 50, width: int = 250
 ) -> list[np.ndarray]:

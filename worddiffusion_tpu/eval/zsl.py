@@ -9,7 +9,7 @@ argmax — identical result, thousands of times faster.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Sequence
+from typing import Callable, Iterable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -92,6 +92,51 @@ def gzsl_accuracy(
         else 0.0
     )
     return {"seen": acc_seen, "unseen": acc_unseen, "harmonic_mean": h}
+
+
+def zsl_gzsl_with_length(
+    apply_fn: Callable[[np.ndarray], dict],
+    batches: Iterable[tuple[np.ndarray, Sequence[str]]],
+    seen_words: Sequence[str],
+    union_words: Sequence[str],
+    counter_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    threshold: float = 0.5,
+    version: str = "eng",
+) -> dict:
+    """The combined evaluation of ``gzslAccuracyTestAni``
+    (``engine.py:273-461``): each prediction is decoded against BOTH the
+    seen lexicon (zsl) and the union lexicon (gzsl); optionally a
+    length-estimation head (sigmoid multi-hot over length slots,
+    thresholded and summed — ``engine.py:370-375``) is scored for exact
+    and fuzzy (+-1) length accuracy."""
+    s_words, s_lex = lexicon_matrix(list(seen_words), version)
+    u_words, u_lex = lexicon_matrix(list(union_words), version)
+    s_lex_j, u_lex_j = jnp.asarray(s_lex), jnp.asarray(u_lex)
+    n = zsl_ok = gzsl_ok = len_ok = len_fuzzy = 0
+    for images, targets in batches:
+        out = apply_fn(images)
+        pred = jnp.concatenate([out["phos"], out["phoc"]], axis=-1)
+        zi = np.asarray(cosine_decode_indices(pred, s_lex_j))
+        gi = np.asarray(cosine_decode_indices(pred, u_lex_j))
+        len_pred = None
+        if counter_fn is not None:
+            lv = np.asarray(counter_fn(images))
+            len_pred = (lv > threshold).sum(axis=-1)
+        for i, target in enumerate(targets):
+            n += 1
+            zsl_ok += s_words[zi[i]] == target
+            gzsl_ok += u_words[gi[i]] == target
+            if len_pred is not None:
+                len_ok += int(len_pred[i]) == len(target)
+                len_fuzzy += abs(int(len_pred[i]) - len(target)) <= 1
+    res = {
+        "zsl": zsl_ok / max(n, 1),
+        "gzsl": gzsl_ok / max(n, 1),
+    }
+    if counter_fn is not None:
+        res["length_accuracy"] = len_ok / max(n, 1)
+        res["length_fuzzy_accuracy"] = len_fuzzy / max(n, 1)
+    return res
 
 
 def split_seen_unseen(
