@@ -109,3 +109,16 @@ def test_trainer_stop_flag(tmp_path):
     trainer.stop.poll_interval_s = 0.0
     state = trainer.run(epochs=5)
     assert int(state.step) == 0  # stopped before the first step
+
+
+def test_trainer_writes_metrics_jsonl(tmp_path):
+    import json
+
+    exp = tiny_exp(tmp_path, log_every=1)
+    ds = make_dataset()
+    trainer = Trainer(exp, ds)
+    trainer.run(epochs=1)
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert lines, "no metrics logged"
+    assert "loss" in lines[0] and "mse" in lines[0]
+    assert lines[-1]["step"] == len(ds) // exp.data.batch_size

@@ -59,6 +59,10 @@ class Trainer:
         self.tx = make_optimizer(exp.train.lr, exp.train.weight_decay)
         self.ckpt = CheckpointManager(f"{exp.train.save_path}/ckpt")
         self.stop = StopFlag(exp.train.stop_flag_file)
+        from ..utils.metrics import MetricsLogger, StepTimer
+
+        self.metrics = MetricsLogger(f"{exp.train.save_path}/metrics.jsonl")
+        self.timer = StepTimer()
 
     def init_state(self, sample_batch: dict) -> TrainState:
         rng = jax.random.PRNGKey(self.exp.train.seed)
@@ -130,6 +134,14 @@ class Trainer:
                 db = self._device_batch(batch, jax.random.fold_in(rng, int(state.step)))
                 state, metrics = step_fn(state, db, rng)
                 losses.append(metrics["loss"])
+                self.timer.tick()
+                step_no = int(state.step)
+                if step_no % max(tcfg.log_every, 1) == 0:
+                    self.metrics.log(
+                        step_no,
+                        **{k: float(np.asarray(v)) for k, v in metrics.items()},
+                        step_time=self.timer.step_time_ema or 0.0,
+                    )
             if losses:
                 mean_loss = float(np.mean([np.asarray(l) for l in losses]))
                 history.append(mean_loss)
