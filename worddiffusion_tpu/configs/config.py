@@ -51,6 +51,11 @@ class UNetConfig:
     # Writer style feature vector projected into the context
     # (``unet.py:1243`` wrd_proj 4096->320); 0 disables.
     style_vec_dim: int = 0
+    # Reference semantics for ``--wrdChrWrStyl 1`` with imgConditioned=0:
+    # the projected style vector REPLACES the character context outright
+    # (``unet.py:1628-1629`` ``context = wrdChrWrStyl``). False keeps the
+    # (beyond-reference) append-as-extra-token behaviour.
+    style_replace_context: bool = False
     # Attention-map return (reference ``--attentionMaps``,
     # ``unet.py:1756-1779``): maps are exposed through the flax
     # 'intermediates' collection.
@@ -70,6 +75,11 @@ class UNetConfig:
     ocr_classes: int = 80
     ocr_hidden: int = 256
     ocr_layers: int = 3
+    # "group": GroupNorm inside the CTC head (TPU-first default, no
+    # running stats to sync under SPMD). "none": no norm — used for
+    # converted reference checkpoints, whose eval-mode BatchNorm is
+    # folded into the preceding convs by ``convert_reference_unet``.
+    ocr_norm: str = "group"
     dtype: str = "bfloat16"        # activation/matmul dtype (params fp32)
     remat: bool = False            # jax.checkpoint the transformer blocks
     use_pallas_attention: bool = False

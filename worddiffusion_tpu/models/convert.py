@@ -144,9 +144,17 @@ def convert_reference_unet(
             idx += 1
             ds *= 2
 
-    p["mid_res1"] = _resblock(sd, "middle_block.0")
-    p["mid_attn"] = _spatial_transformer(sd, "middle_block.1", cfg, depth)
-    p["mid_res2"] = _resblock(sd, "middle_block.2")
+    if "middle_block.0.in_layers.0.weight" in sd:
+        p["mid_res1"] = _resblock(sd, "middle_block.0")
+        p["mid_attn"] = _spatial_transformer(sd, "middle_block.1", cfg, depth)
+        p["mid_res2"] = _resblock(sd, "middle_block.2")
+    else:
+        # --attentionMaps checkpoints store the same three modules as
+        # middle_block1 = [[ResBlock, ST], [ResBlock]]
+        # (``unet.py:1336-1366``)
+        p["mid_res1"] = _resblock(sd, "middle_block1.0.0")
+        p["mid_attn"] = _spatial_transformer(sd, "middle_block1.0.1", cfg, depth)
+        p["mid_res2"] = _resblock(sd, "middle_block1.1.0")
 
     idx = 0
     for level in reversed(range(len(cfg.channel_mult))):
@@ -167,7 +175,49 @@ def convert_reference_unet(
 
     p["out_norm"] = _gn(sd, "out.0")
     p["out_conv"] = _conv(sd, "out.2")
+
+    if cfg.ocr_head and "auxhead.temporal_i.0.weight" in sd:
+        p["aux_head"] = _ctc_head(sd, "auxhead", cfg)
     return {"params": p}
+
+
+def _fold_bn_conv(sd, conv_prefix: str, bn_prefix: str, eps: float = 1e-5):
+    """Fold an eval-mode BatchNorm2d into the preceding conv.
+
+    y = ((conv(x) - mean) / sqrt(var+eps)) * gamma + beta is affine per
+    channel, so it folds exactly into the conv kernel/bias. The converted
+    CTC head therefore runs with ``ocr_norm='none'`` and matches the
+    reference ``CTCtopC`` eval forward (``unet.py:1054-1092``)."""
+    w = _t(sd[conv_prefix + ".weight"])  # OIHW
+    b = _t(sd[conv_prefix + ".bias"])
+    gamma = _t(sd[bn_prefix + ".weight"])
+    beta = _t(sd[bn_prefix + ".bias"])
+    mean = _t(sd[bn_prefix + ".running_mean"])
+    var = _t(sd[bn_prefix + ".running_var"])
+    s = gamma / np.sqrt(var + eps)
+    w = w * s[:, None, None, None]
+    b = (b - mean) * s + beta
+    return {"Conv_0": {"kernel": w.transpose(2, 3, 1, 0), "bias": b}}
+
+
+def _ctc_head(sd, prefix: str, cfg: UNetConfig) -> dict:
+    if cfg.ocr_norm != "none":
+        raise ValueError(
+            "converted reference CTC heads fold BatchNorm into the convs; "
+            "build the UNet with ocr_norm='none'"
+        )
+    out = {
+        "temporal_i": _fold_bn_conv(sd, f"{prefix}.temporal_i.0",
+                                    f"{prefix}.temporal_i.1"),
+        "temporal_o": _conv(sd, f"{prefix}.temporal_o"),
+        "lin1": _dense(sd, f"{prefix}.lin1"),
+        "lin2": _dense(sd, f"{prefix}.lin2"),
+    }
+    for i in range(cfg.ocr_layers):
+        out[f"temporal_m{i}"] = _fold_bn_conv(
+            sd, f"{prefix}.temporal_m.{i}.0", f"{prefix}.temporal_m.{i}.1"
+        )
+    return out
 
 
 def load_torch_checkpoint(path: str) -> dict:

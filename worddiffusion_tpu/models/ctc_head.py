@@ -29,6 +29,10 @@ class CTCHead(nn.Module):
     nclasses: int = 52
     dropout: float = 0.25
     frames: int = 256
+    # "group" (default) or "none". Converted reference checkpoints use
+    # "none": their eval-mode BatchNorm is an affine per-channel map that
+    # ``convert_reference_unet`` folds into the preceding conv weights.
+    norm: str = "group"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -36,17 +40,18 @@ class CTCHead(nn.Module):
         # x: [B, H, W, C] (the predicted-noise feature map, 8x32x4)
         def temporal(name, feats, inp):
             h = Conv2D(feats, kernel=(1, 5), dtype=self.dtype, name=name)(inp)
-            # GroupNorm instead of the reference's BatchNorm2d: no
-            # cross-replica running stats to synchronise under SPMD and
-            # no mutable collections in the jitted train step. The head
-            # is trained from scratch, so this is a deliberate
-            # TPU-first divergence.
-            h = nn.GroupNorm(
-                num_groups=min(32, feats),
-                dtype=jnp.float32,
-                param_dtype=jnp.float32,
-                name=name + "_gn",
-            )(h.astype(jnp.float32)).astype(self.dtype)
+            if self.norm == "group":
+                # GroupNorm instead of the reference's BatchNorm2d: no
+                # cross-replica running stats to synchronise under SPMD
+                # and no mutable collections in the jitted train step.
+                # The head is trained from scratch, so this is a
+                # deliberate TPU-first divergence.
+                h = nn.GroupNorm(
+                    num_groups=min(32, feats),
+                    dtype=jnp.float32,
+                    param_dtype=jnp.float32,
+                    name=name + "_gn",
+                )(h.astype(jnp.float32)).astype(self.dtype)
             h = nn.relu(h)
             return nn.Dropout(self.dropout)(h, deterministic=deterministic)
 

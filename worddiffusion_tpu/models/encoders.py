@@ -80,6 +80,8 @@ class StyleProjection(nn.Module):
 
     @nn.compact
     def __call__(self, style_vec: jax.Array) -> jax.Array:
-        # style_vec: [B, D] -> [B, 1, context_dim]
+        # style_vec: [B, D] -> [B, 1, context_dim], or [B, S, D] ->
+        # [B, S, context_dim] (the cropStyleDict entries are per-image
+        # token sequences, ``trainModifyCondition.py:466-468``)
         out = Dense(self.context_dim, dtype=self.dtype, name="wrd_proj")(style_vec)
-        return out[:, None, :]
+        return out if out.ndim == 3 else out[:, None, :]

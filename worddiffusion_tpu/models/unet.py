@@ -172,7 +172,13 @@ class UNet(nn.Module):
                 style_tok = StyleProjection(
                     cfg.context_dim, dtype=dtype, name="style_proj"
                 )(style_vec.astype(dtype))
-                context = jnp.concatenate([context, style_tok], axis=1)
+                if cfg.style_replace_context:
+                    # reference --wrdChrWrStyl 1: the projected style
+                    # sequence REPLACES the char context
+                    # (``unet.py:1628-1629``)
+                    context = style_tok
+                else:
+                    context = jnp.concatenate([context, style_tok], axis=1)
             if cfg.use_char_images and char_images is not None:
                 # glyph crops [B, L, gh, gw, 1] -> conv tokens appended
                 # to the context (charImages path, ``unet.py:1517-1541``)
@@ -264,6 +270,7 @@ class UNet(nn.Module):
                 hidden=cfg.ocr_hidden,
                 layers=cfg.ocr_layers,
                 nclasses=cfg.ocr_classes,
+                norm=cfg.ocr_norm,
                 dtype=dtype,
                 name="aux_head",
             )(eps.astype(dtype), deterministic)
