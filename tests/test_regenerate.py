@@ -121,6 +121,40 @@ def test_scan_existing_empty(tmp_path):
     assert scan_existing(str(tmp_path / "nope")) == set()
 
 
+def test_regen_small_tail_pads_to_full_batch(tmp_path):
+    """A tail smaller than half the batch must still pad to batch_size
+    (one compiled program), and only the real samples are written."""
+    exp = pixel_exp()
+    sampler = make_sampler(exp)
+    regen = Regenerator(sampler, out_dir=str(tmp_path / "out"))
+    stats = regen.run(corpus()[:3], batch_size=8)  # 3 << 8/2
+    assert stats.generated == 3 and stats.accepted == 3
+    assert len(os.listdir(tmp_path / "out")) == 3
+    # exactly one program compiled (tail padded to the static shape)
+    assert len(sampler._compiled) == 1
+
+
+def test_regen_double_buffer_drains_last_batch(tmp_path):
+    """The double-buffered loop processes every batch including the
+    final pending one, in dispatch order."""
+    exp = pixel_exp()
+    sampler = make_sampler(exp)
+    order = []
+    orig = Regenerator._process
+
+    def spy(self, images, chunk, stats):
+        order.append([name for _, name in chunk])
+        return orig(self, images, chunk, stats)
+
+    regen = Regenerator(sampler, out_dir=str(tmp_path / "out"))
+    regen._process = spy.__get__(regen)
+    stats = regen.run(corpus(), batch_size=3)  # 8 samples -> 3 batches
+    assert stats.generated == 8 and stats.accepted == 8
+    assert len(order) == 3
+    assert sum(len(o) for o in order) == 8
+    assert len(os.listdir(tmp_path / "out")) == 8
+
+
 def test_sharded_sampling_over_mesh(tmp_path):
     from worddiffusion_tpu.configs.config import MeshConfig
     from worddiffusion_tpu.parallel.mesh import make_mesh

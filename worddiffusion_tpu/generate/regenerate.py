@@ -10,9 +10,10 @@ Rebuild of ``regenerateFromtrain2.py`` (SURVEY.md §3.3), TPU-first:
   one compiled ``lax.scan``, skipped steps cost no UNet FLOPs.
 - **Writer-id perturbation** (``sidChange``, ``:767-794``): optionally
   offset writer ids to synthesise style variants.
-- **Host/device overlap**: sampling of batch N+1 is dispatched before
-  the host finishes OCR-filtering and writing batch N (JAX async
-  dispatch gives the overlap for free).
+- **Host/device overlap**: real double buffering — batch N's sampling
+  is dispatched asynchronously (no host sync), then the host runs the
+  OCR filter + PNG writes for batch N-1 while the device computes; the
+  sync (``np.asarray``) happens one batch late.
 - **OCR accept filter**: greedy CTC decode of the generated image must
   exactly match the conditioning word (``:896-967``); accept-rate is
   logged per batch.
@@ -112,11 +113,12 @@ class Regenerator:
         def batches():
             for start in range(0, len(todo), batch_size):
                 chunk = todo[start : start + batch_size]
-                if len(chunk) < batch_size:  # pad to static shape
+                n_real = len(chunk)
+                while len(chunk) < batch_size:  # pad to static shape
                     chunk = chunk + chunk[: batch_size - len(chunk)]
-                yield chunk[:batch_size], min(batch_size, len(todo) - start)
+                yield chunk, n_real
 
-        pending = None  # (images future, chunk, n_real)
+        pending = None  # (on-device images, chunk, n_real)
         for bi, (chunk, n_real) in enumerate(batches()):
             if max_batches is not None and bi >= max_batches:
                 break
@@ -137,16 +139,24 @@ class Regenerator:
                     phosc_vector(w, self.sampler.exp.data.phos_version, as_int=True)
                     for w in words
                 ]).astype(np.int32)
-            images = self.sampler.sample(
+            # double buffering: dispatch batch N (async, stays on
+            # device), then do the host-side OCR filter + PNG writes of
+            # batch N-1 while the device samples
+            images = self.sampler.sample_async(
                 words, wids, jax.random.fold_in(rng, bi), phosc
-            )  # dispatches async; np.asarray inside sample syncs
-
-            self._process(images[:n_real], chunk[:n_real], stats)
+            )
+            if pending is not None:
+                p_images, p_chunk, p_n = pending
+                self._process(np.asarray(p_images)[:p_n], p_chunk[:p_n], stats)
+            pending = (images, chunk, n_real)
             if (bi + 1) % 10 == 0:
                 log.info(
                     "regen batch %d: accept-rate %.3f (%d/%d)",
                     bi, stats.accept_rate, stats.accepted, stats.generated,
                 )
+        if pending is not None:
+            p_images, p_chunk, p_n = pending
+            self._process(np.asarray(p_images)[:p_n], p_chunk[:p_n], stats)
         log.info(
             "regen done: %d generated, %d accepted (%.3f), %d pre-existing",
             stats.generated, stats.accepted, stats.accept_rate, stats.skipped_existing,

@@ -123,7 +123,7 @@ class WordSampler:
                 self._compiled[key] = jax.jit(run)
         return self._compiled[key]
 
-    def sample(
+    def sample_async(
         self,
         words: Sequence[str],
         writer_ids: Sequence[int],
@@ -131,10 +131,12 @@ class WordSampler:
         phosc: Optional[np.ndarray] = None,
         writer_ids2: Optional[Sequence[int]] = None,
         mix_rate: Optional[float] = None,
-    ) -> np.ndarray:
-        """-> float images [B, H, W, 3] in [0,1] (latent mode) or uint8
-        (pixel mode). ``writer_ids2`` + ``mix_rate`` interpolate between
-        two writer styles (reference ``--interpolation``)."""
+    ) -> jax.Array:
+        """Dispatch sampling and return the on-device result WITHOUT
+        blocking (JAX async dispatch). The caller overlaps host work
+        (OCR post-processing, PNG writes) with device compute and syncs
+        with ``np.asarray`` when needed — used by the Regenerator's
+        double buffering."""
         ctx = jnp.asarray(self.tokenizer.encode_batch(list(words)))
         wid = jnp.asarray(np.asarray(writer_ids, np.int32))
         if self.exp.data.latent:
@@ -153,7 +155,24 @@ class WordSampler:
             jnp.full((len(words),), mix_rate, jnp.float32)
             if mix_rate is not None else None
         )
-        return np.asarray(run(self.params, rng, ctx, wid, ph, wid2, mix))
+        return run(self.params, rng, ctx, wid, ph, wid2, mix)
+
+    def sample(
+        self,
+        words: Sequence[str],
+        writer_ids: Sequence[int],
+        rng: jax.Array,
+        phosc: Optional[np.ndarray] = None,
+        writer_ids2: Optional[Sequence[int]] = None,
+        mix_rate: Optional[float] = None,
+    ) -> np.ndarray:
+        """-> float images [B, H, W, 3] in [0,1] (latent mode) or uint8
+        (pixel mode), synced to host. ``writer_ids2`` + ``mix_rate``
+        interpolate between two writer styles (reference
+        ``--interpolation``)."""
+        return np.asarray(
+            self.sample_async(words, writer_ids, rng, phosc, writer_ids2, mix_rate)
+        )
 
     def sample_preview(self, rng: jax.Array, words=None, n: int = 3) -> np.ndarray:
         """Fixed-probe-word preview; writer id forced to ones like the
