@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--phos", type=int, default=0)
     p.add_argument("--ocrTraining", type=int, default=0)
     p.add_argument("--wrdChrWrStyl", type=int, default=0)
+    p.add_argument("--charImages", type=int, default=0)
+    p.add_argument("--imgConditioned", type=int, default=0)
+    p.add_argument("--style_dict", default="",
+                   help="npz of writer->style vectors (models.style."
+                        "build_style_dict); random-init encoder if empty")
     p.add_argument("--augMaps", type=int, default=0)
     p.add_argument("--vaeFromDict", type=int, default=0)
     p.add_argument("--latent_cache", default="", help="npz from latent-cache builder")
@@ -84,11 +89,48 @@ def experiment_from_args(args) -> "Experiment":
             exp.unet,
             ocr_head=bool(args.ocrTraining),
             style_vec_dim=4096 if args.wrdChrWrStyl else 0,
+            use_char_images=bool(args.charImages),
+            img_conditioned=bool(args.imgConditioned),
             in_channels=4 if args.latent else 3,
             out_channels=4 if args.latent else 3,
         ),
     )
     return exp
+
+
+def _build_style_lookup(args, exp, samples, registry, tokenizer):
+    """writer -> 4096-d style vector for ``--wrdChrWrStyl`` (the in-repo
+    ``cropStyleDict_Numpy.pkl``, ``unet.py:1159-1161``). Loads
+    ``--style_dict`` if given; otherwise encodes a few crops per writer
+    with the (random-init unless trained separately) StyleEncoder."""
+    import numpy as _np
+
+    if args.style_dict:
+        with _np.load(args.style_dict, allow_pickle=False) as z:
+            return {k: z[k] for k in z.files}
+    import jax as _jax
+
+    from ..data.dataset import WordImageDataset as _DS
+    from ..models.style import StyleEncoder, build_style_dict
+
+    logging.warning(
+        "no --style_dict: building writer style vectors with a randomly "
+        "initialised StyleEncoder (train one for meaningful styles)"
+    )
+    probe = _DS(samples, registry, tokenizer, exp.data, seed=args.seed)
+    by_writer: dict = {}
+    for i, s in enumerate(samples):
+        if len(by_writer.setdefault(s.writer, [])) < 4:
+            by_writer[s.writer].append(
+                _np.asarray(probe[i]["image"], _np.float32)
+            )
+    by_writer = {w: _np.stack(v) for w, v in by_writer.items()}
+    enc = StyleEncoder(out_dim=4096)
+    enc_params = enc.init(
+        _jax.random.PRNGKey(0),
+        _np.zeros((1, exp.data.img_height, exp.data.img_width, 3), _np.float32),
+    )
+    return build_style_dict(enc, enc_params, by_writer)
 
 
 def main(argv=None) -> None:
@@ -99,10 +141,18 @@ def main(argv=None) -> None:
     from ..data.augment import random_augment
     from ..data.dataset import LatentLookup, WordImageDataset
     from ..data.gt import parse_gt
+    from ..data.loader import host_shard
     from ..data.synthetic import synthetic_corpus
     from ..data.gt import WriterRegistry
     from ..data.tokenizer import Tokenizer
+    from ..parallel.distributed import initialize_multihost
     from ..train.loop import Trainer
+
+    # multi-host SPMD (no-op single-process): DCN coordination up
+    # BEFORE any backend use, then per-host data sharding
+    pid, pcount = initialize_multihost()
+    if pcount > 1:
+        logging.info("multi-host: process %d/%d", pid, pcount)
 
     if args.synthetic or not args.gt_train:
         samples = synthetic_corpus(samples_per_word=16)
@@ -111,6 +161,10 @@ def main(argv=None) -> None:
             registry.add(s.writer)
     else:
         samples, registry = parse_gt(args.gt_train, partial_load=args.partialLoad)
+    if pcount > 1:
+        # registry is built from the FULL corpus on every host (writer
+        # ids must agree globally); only the sample list is sharded
+        samples = host_shard(samples, pid, pcount)
     if args.save_path:
         import os
 
@@ -120,12 +174,21 @@ def main(argv=None) -> None:
 
     tokenizer = Tokenizer.from_name(exp.data.alphabet, exp.data.max_chars)
     cache = LatentLookup.load(args.latent_cache) if args.latent_cache else None
+
+    style_lookup = None
+    if args.wrdChrWrStyl:
+        style_lookup = _build_style_lookup(args, exp, samples, registry, tokenizer)
+
     dataset = WordImageDataset(
         samples, registry, tokenizer, exp.data,
         use_phosc=exp.unet.use_phosc,
         latent_cache=cache,
         augment_fn=random_augment if args.augMaps else None,
         ocr_alphabet=None,
+        style_lookup=style_lookup,
+        char_images=exp.unet.use_char_images,
+        char_image_size=exp.unet.char_image_size,
+        cond_latents=exp.unet.img_conditioned,
         seed=args.seed,
     )
 

@@ -11,7 +11,13 @@ Replaces the reference's five copy-pasted ``IAMDataset`` classes
 - ``latent_cache`` short-circuits image IO entirely, returning
   precomputed VAE latents (the ``vaeFromDict`` fast path,
   ``trainModifyCondition.py:303-325``);
-- optional PHOSC int descriptors and OCR CTC targets per record.
+- optional PHOSC int descriptors and OCR CTC targets per record;
+- conditioning-mode batch keys: ``style_vec`` writer-style vectors from
+  a style dict (``--wrdChrWrStyl``, ``trainModifyCondition.py:466-468``),
+  ``char_images`` per-character glyph crops (``--charImages``,
+  ``trainModifyCondition.py:406-446``), and ``cond_latents`` reference
+  latents (``--imgConditioned``, the trainer's
+  ``original_images=latents`` call, ``trainModifyCondition.py:733``).
 """
 
 from __future__ import annotations
@@ -40,8 +46,23 @@ class WordImageDataset:
         latent_cache: Optional["LatentLookup"] = None,
         augment_fn: Optional[Callable] = None,
         ocr_alphabet: Optional[str] = None,
+        style_lookup: Optional[dict] = None,
+        char_images: bool = False,
+        char_image_size: tuple = (16, 16),
+        cond_latents: bool = False,
         seed: int = 0,
     ):
+        """Conditioning-mode sources:
+
+        ``style_lookup``: raw writer id -> style vector (built by
+        ``models.style.build_style_dict``, the in-repo
+        ``cropStyleDict_Numpy.pkl``); emits ``style_vec``.
+        ``char_images``: emit per-character glyph crops
+        [max_chars, gh, gw, 1] in [-1, 1], white-padded.
+        ``cond_latents``: emit the record's own clean latent (or image in
+        pixel mode) as the conditioning reference, matching the
+        trainer's ``original_images=latents``
+        (``trainModifyCondition.py:733``)."""
         self.samples = list(samples)
         self.registry = registry
         self.tokenizer = tokenizer
@@ -50,8 +71,13 @@ class WordImageDataset:
         self.latent_cache = latent_cache
         self.augment_fn = augment_fn
         self.ocr_alphabet = ocr_alphabet
+        self.style_lookup = style_lookup
+        self.char_images = char_images
+        self.char_image_size = tuple(char_image_size)
+        self.cond_latents = cond_latents
         self._rng = np.random.default_rng(seed)
         self._phosc_cache: dict[str, np.ndarray] = {}
+        self._glyph_cache: dict[str, np.ndarray] = {}
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -80,6 +106,20 @@ class WordImageDataset:
             ).astype(np.int32)
         return self._phosc_cache[word]
 
+    def _char_glyphs(self, word: str) -> np.ndarray:
+        """[max_chars, gh, gw, 1] glyph crops in [-1, 1] (the charImages
+        conditioning, ``trainModifyCondition.py:406-446``); unused slots
+        stay white (+1)."""
+        gh, gw = self.char_image_size
+        slots = np.ones((self.cfg.max_chars, gh, gw, 1), np.float32)
+        for i, c in enumerate(word[: self.cfg.max_chars]):
+            if c not in self._glyph_cache:
+                g = render_word(c, gh, gw, seed=0, jitter=False)
+                g = normalize_to_unit(g).mean(axis=-1, keepdims=True)
+                self._glyph_cache[c] = g.astype(np.float32)
+            slots[i] = self._glyph_cache[c]
+        return slots
+
     def __getitem__(self, idx: int) -> dict:
         s = self.samples[idx]
         rec = {
@@ -94,6 +134,18 @@ class WordImageDataset:
             rec["image"] = normalize_to_unit(self._load_image(s))
         if self.use_phosc:
             rec["phosc"] = self._phosc(s.word)
+        if self.style_lookup is not None:
+            if s.writer not in self.style_lookup:
+                raise KeyError(
+                    f"style_lookup has no vector for writer {s.writer!r} "
+                    "(build one with models.style.build_style_dict over this "
+                    "corpus before enabling --wrdChrWrStyl)"
+                )
+            rec["style_vec"] = np.asarray(self.style_lookup[s.writer], np.float32)
+        if self.char_images:
+            rec["char_images"] = self._char_glyphs(s.word)
+        if self.cond_latents:
+            rec["cond_latents"] = rec["latent"] if "latent" in rec else rec["image"]
         if self.ocr_alphabet is not None:
             from ..ops.ctc import encode_ocr_labels
 

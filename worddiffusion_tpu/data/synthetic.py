@@ -37,9 +37,11 @@ def render_word(
         scratch = scratch.crop(
             (cols[0], rows[0], cols[-1] + 1, rows[-1] + 1)
         )
-    target_h = int(height * (0.45 + 0.25 * rng.random())) if jitter else height // 2
+    target_h = int(height * (0.45 + 0.25 * rng.random())) if jitter else max(2, height * 3 // 4)
+    target_h = max(2, min(height, target_h))
     scale = target_h / scratch.size[1]
-    new_w = min(width - 8, max(4, int(scratch.size[0] * scale)))
+    margin = min(8, max(0, width - 4))  # tiny canvases (glyph crops) keep >0 width
+    new_w = min(max(width - margin, 2), max(2, int(scratch.size[0] * scale)))
     word_img = scratch.resize((new_w, target_h), Image.BILINEAR)
 
     if jitter:

@@ -68,10 +68,21 @@ class Trainer:
         rng = jax.random.PRNGKey(self.exp.train.seed)
         b = sample_batch
         latent = b.get("latent")
+        if latent is None and self.encode_fn is None:
+            latent = b.get("image")  # pixel-mode training
         if latent is None:
             latent = np.zeros(
                 (2, self.exp.data.img_height // 8, self.exp.data.img_width // 8, 4),
                 np.float32,
+            )
+        extra = {}
+        if "style_vec" in b:
+            extra["style_vec"] = jax.numpy.asarray(b["style_vec"][:2])
+        if "char_images" in b:
+            extra["char_images"] = jax.numpy.asarray(b["char_images"][:2])
+        if self.exp.unet.img_conditioned:
+            extra["cond_latents"] = jax.numpy.asarray(
+                np.asarray(b.get("cond_latents", latent))[:2]
             )
         params = self.model.init(
             rng,
@@ -82,6 +93,7 @@ class Trainer:
             phosc_ids=(
                 jax.numpy.asarray(b["phosc"][:2]) if "phosc" in b else None
             ),
+            **extra,
         )
         state = TrainState.create(params, self.tx)
         return jax.device_put(
@@ -97,16 +109,25 @@ class Trainer:
             keep["latent"] = np.asarray(self.encode_fn(batch["image"], rng))
         else:
             keep["latent"] = batch["image"]
-        for k in ("context", "writer", "phosc", "ocr_ids", "ocr_len"):
+        for k in ("context", "writer", "phosc", "ocr_ids", "ocr_len",
+                  "style_vec", "char_images", "cond_latents"):
             if k in batch:
                 keep[k] = batch[k]
+        if self.exp.unet.img_conditioned and "cond_latents" not in keep:
+            keep["cond_latents"] = keep["latent"]
         return shard_batch(keep, self.mesh)
 
     def run(self, epochs: Optional[int] = None, resume: bool = False) -> TrainState:
         tcfg = self.exp.train
         epochs = epochs if epochs is not None else tcfg.epochs
+        # per-host slice of the global batch (multi-host SPMD: each
+        # process loads 1/n of the batch; shard_batch assembles the
+        # global array). Single-process: local == global.
+        from ..parallel.distributed import local_batch_slice
+
+        local_bs = local_batch_slice(self.exp.data.batch_size)
         first = next(
-            epoch_batches(self.dataset, self.exp.data.batch_size, epoch=0, seed=tcfg.seed)
+            epoch_batches(self.dataset, local_bs, epoch=0, seed=tcfg.seed)
         )
         state = self.init_state(first)
         if resume and self.ckpt.latest_step() is not None:
@@ -125,7 +146,7 @@ class Trainer:
             t0 = time.time()
             losses = []
             for batch in epoch_batches(
-                self.dataset, self.exp.data.batch_size, epoch=epoch, seed=tcfg.seed
+                self.dataset, local_bs, epoch=epoch, seed=tcfg.seed
             ):
                 if self.stop.should_stop():
                     log.info("stop flag raised; finishing at epoch %d", epoch)

@@ -14,6 +14,10 @@ Batch dict layout (produced by ``data.loader``):
   ``phosc``   [B, P] int32 (phosc presets only)
   ``ocr_ids`` [B, L] int32 CTC targets   (ctc_weight > 0 only)
   ``ocr_len`` [B] int32 target lengths
+  ``style_vec``    [B, D] float32 writer-style vectors (style_vec_dim>0)
+  ``char_images``  [B, L, gh, gw, 1] glyph crops (use_char_images)
+  ``cond_latents`` [B, 8, 32, 4] reference latents (img_conditioned;
+                   defaults to the clean ``latent``)
 """
 
 from __future__ import annotations
@@ -31,10 +35,34 @@ from ..parallel.mesh import batch_sharding, param_sharding, replicated
 from .state import TrainState, ema_update
 
 
+def _check_conditioning_keys(exp: Experiment, batch) -> None:
+    """Fail LOUDLY (at trace time) when the model config demands a
+    conditioning input the data pipeline does not produce — the
+    reference silently trains without the style token when
+    ``--wrdChrWrStyl 1`` lacks data (``unet.py:1628``); we refuse."""
+    required = []
+    if exp.unet.style_vec_dim:
+        required.append("style_vec")
+    if exp.unet.use_char_images:
+        required.append("char_images")
+    if exp.unet.img_conditioned and "latent" not in batch:
+        required.append("cond_latents")
+    missing = [k for k in required if batch.get(k) is None]
+    if missing:
+        raise ValueError(
+            f"UNet config requires conditioning batch keys {missing} but the "
+            "batch only has "
+            f"{sorted(k for k, v in batch.items() if v is not None)}; enable "
+            "the matching WordImageDataset option (style_lookup / "
+            "char_images / cond_latents)"
+        )
+
+
 def make_loss_fn(model: UNet, schedule: NoiseSchedule, exp: Experiment):
     tcfg = exp.train
 
     def loss_fn(params, batch, rng):
+        _check_conditioning_keys(exp, batch)
         b = batch["latent"].shape[0]
         t_rng, n_rng, d_rng = jax.random.split(rng, 3)
         t = sample_timesteps(schedule, t_rng, b)
@@ -50,6 +78,12 @@ def make_loss_fn(model: UNet, schedule: NoiseSchedule, exp: Experiment):
         else:
             writer_mask = None
 
+        cond_latents = None
+        if exp.unet.img_conditioned:
+            # reference passes the clean latents of the same batch as
+            # the conditioning reference (``trainModifyCondition.py:733``)
+            cond_latents = batch.get("cond_latents", batch["latent"])
+
         out = model.apply(
             params,
             x_t,
@@ -58,6 +92,8 @@ def make_loss_fn(model: UNet, schedule: NoiseSchedule, exp: Experiment):
             batch["writer"],
             phosc_ids=batch.get("phosc"),
             style_vec=batch.get("style_vec"),
+            char_images=batch.get("char_images"),
+            cond_latents=cond_latents,
             writer_mask=writer_mask,
             deterministic=True,
         )
