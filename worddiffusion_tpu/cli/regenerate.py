@@ -36,6 +36,10 @@ def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     args = build_parser().parse_args(argv)
 
+    from ..parallel.distributed import initialize_multihost
+
+    initialize_multihost()  # before any backend use; no-op single-process
+
     import jax
 
     from ..configs import presets
@@ -97,6 +101,16 @@ def main(argv=None) -> None:
         ocr_apply = jax.jit(lambda imgs: ocr.apply(ocr_vars, imgs))
 
     samples, registry = parse_gt(args.gt_file, partial_load=args.partialLoad)
+    # multi-host regeneration: each process generates a disjoint slice
+    # of the corpus (the filename-based resume scan keeps them disjoint
+    # even on shared storage)
+    from ..data.loader import host_shard
+
+    if jax.process_count() > 1:
+        pid, pcount = jax.process_index(), jax.process_count()
+        samples = host_shard(samples, pid, pcount)
+        logging.info("multi-host regen: process %d/%d, %d samples local",
+                     pid, pcount, len(samples))
     regen = Regenerator(
         sampler,
         ocr_apply=ocr_apply,

@@ -82,6 +82,18 @@ def param_sharding(params: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place a host batch dict onto the mesh, sharded on 'data'."""
+    """Place a host batch dict onto the mesh, sharded on 'data'.
+
+    Multi-process: each host holds only its slice of the global batch
+    (``data.loader.host_shard`` + per-host batch size); the global array
+    is assembled with ``jax.make_array_from_process_local_data`` — the
+    canonical DCN-spanning path. Single-process: plain device_put."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
