@@ -157,26 +157,103 @@ class _ResNet18Trunk(nn.Module):
         return x
 
 
+class _TorchResNetTrunk(nn.Module):
+    """torchvision resnet18/34 layout with the reference's paper
+    modifications (``residualmodels.py:352-467`` ResNet18Pretrain):
+    7x7 stem with padding (0,0) and an ADDED bias, 3x3 maxpool with
+    padding (0,0), biased BasicBlock convs. BatchNorm handling:
+
+    - ``norm='group'``: GroupNorm stand-in for training from scratch
+      (no running stats under SPMD);
+    - ``norm='none'``: no norm — used with torchvision-format
+      checkpoints whose eval-mode BN ``convert_torchvision_resnet``
+      folds into the conv weights (pretrained-trunk interop without
+      torchvision in the image).
+
+    ``blocks=(2,2,2,2)`` is resnet18; ``(3,4,6,3)`` is ResNet34
+    (``residualmodels.py:152-264``)."""
+
+    blocks: tuple = (2, 2, 2, 2)
+    norm: str = "group"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        def gn(h, feats, name):
+            if self.norm != "group":
+                return h
+            return nn.GroupNorm(num_groups=min(32, feats), dtype=jnp.float32,
+                                param_dtype=jnp.float32, name=name)(
+                h.astype(jnp.float32)).astype(self.dtype)
+
+        if x.shape[-1] == 1:  # grayscale -> 3ch (reference expand)
+            x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(x)
+        h = nn.relu(gn(h, 64, "bn1"))
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="VALID")
+
+        for stage, n in enumerate(self.blocks):
+            feats = 64 * (2 ** stage)
+            for b in range(n):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                res = h
+                name = f"l{stage}b{b}"
+                h = nn.Conv(feats, (3, 3), strides=(stride, stride),
+                            padding=((1, 1), (1, 1)), dtype=self.dtype,
+                            param_dtype=jnp.float32, name=name + "_c1")(h)
+                h = nn.relu(gn(h, feats, name + "_n1"))
+                h = nn.Conv(feats, (3, 3), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name=name + "_c2")(h)
+                h = gn(h, feats, name + "_n2")
+                if res.shape[-1] != feats or stride != 1:
+                    res = nn.Conv(feats, (1, 1), strides=(stride, stride),
+                                  dtype=self.dtype, param_dtype=jnp.float32,
+                                  name=name + "_ds")(res)
+                    res = gn(res, feats, name + "_dsn")
+                h = nn.relu(h + res)
+        return h
+
+
+TRUNKS = {
+    "vgg": lambda dtype, norm: _VGGTrunk(dtype=dtype, name="trunk"),
+    "resnet18": lambda dtype, norm: _ResNet18Trunk(dtype=dtype, name="trunk"),
+    "resnet18_pretrain": lambda dtype, norm: _TorchResNetTrunk(
+        blocks=(2, 2, 2, 2), norm=norm, dtype=dtype, name="trunk"),
+    # the reference's ResNet18PretrainAttention (residualmodels.py:556-600)
+    # is architecturally identical to the plain pretrain variant — kept as
+    # an alias for config parity
+    "resnet18_attention": lambda dtype, norm: _TorchResNetTrunk(
+        blocks=(2, 2, 2, 2), norm=norm, dtype=dtype, name="trunk"),
+    "resnet34": lambda dtype, norm: _TorchResNetTrunk(
+        blocks=(3, 4, 6, 3), norm=norm, dtype=dtype, name="trunk"),
+}
+
+
 class PHOSCNet(nn.Module):
     phos_size: int = 165
     phoc_size: int = 604
     hidden: int = 4096
     levels: tuple = (1, 2, 5)
-    trunk: str = "vgg"          # 'vgg' | 'resnet18'
+    trunk: str = "vgg"          # see TRUNKS
+    # baseline PHOSCnet heads have two 4096 hidden layers
+    # (modules/models.py:15-85); the residual variants one
+    # (residualmodels.py:434-452)
+    head_layers: int = 2
+    trunk_norm: str = "group"   # 'group' | 'none' (folded-BN checkpoints)
     dropout: float = 0.5
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> dict:
         x = x.astype(jnp.dtype(self.dtype))
-        trunk = (_ResNet18Trunk if self.trunk == "resnet18" else _VGGTrunk)(
-            dtype=self.dtype, name="trunk"
-        )
+        trunk = TRUNKS[self.trunk](jnp.dtype(self.dtype), self.trunk_norm)
         feats = temporal_pyramid_pool(trunk(x), self.levels)
 
         def head(name, out_dim, final_act):
             h = feats
-            for i in range(2):
+            for i in range(self.head_layers):
                 h = nn.Dense(self.hidden, dtype=self.dtype,
                              param_dtype=jnp.float32, name=f"{name}_fc{i}")(h)
                 h = nn.relu(h)
@@ -189,6 +266,52 @@ class PHOSCNet(nn.Module):
             "phos": head("phos", self.phos_size, nn.relu),
             "phoc": head("phoc", self.phoc_size, nn.sigmoid),
         }
+
+
+def resnet18_pretrain_phoscnet(**kw) -> PHOSCNet:
+    """The paper's reported recognizer (``residualmodels.py:352-467``):
+    torchvision-resnet18 trunk + TPP[1,2,5] + one-hidden-layer heads,
+    phos 180 / phoc 646."""
+    base = dict(phos_size=180, phoc_size=646, trunk="resnet18_pretrain",
+                head_layers=1)
+    base.update(kw)
+    return PHOSCNet(**base)
+
+
+def convert_torchvision_resnet(sd, blocks=(2, 2, 2, 2)) -> dict:
+    """torchvision resnet18/34 state dict -> `_TorchResNetTrunk` params
+    with eval-mode BatchNorm folded into the convs (use
+    ``trunk_norm='none'``). Accepts both bare ('conv1.weight') and
+    reference-wrapped ('resnet18.0.weight') key styles are NOT needed —
+    the reference keeps torchvision naming until the final Sequential
+    wrap (``residualmodels.py:430``)."""
+    import numpy as np
+
+    def arr(k):
+        return np.asarray(sd[k], np.float32)
+
+    def fold(conv_prefix, bn_prefix, eps=1e-5):
+        w = arr(conv_prefix + ".weight")  # OIHW
+        b = (arr(conv_prefix + ".bias") if conv_prefix + ".bias" in sd
+             else np.zeros(w.shape[0], np.float32))
+        g, beta = arr(bn_prefix + ".weight"), arr(bn_prefix + ".bias")
+        mean, var = arr(bn_prefix + ".running_mean"), arr(bn_prefix + ".running_var")
+        s = g / np.sqrt(var + eps)
+        return {
+            "kernel": (w * s[:, None, None, None]).transpose(2, 3, 1, 0),
+            "bias": (b - mean) * s + beta,
+        }
+
+    out = {"conv1": fold("conv1", "bn1")}
+    for stage, n in enumerate(blocks):
+        for b in range(n):
+            t = f"layer{stage + 1}.{b}"
+            name = f"l{stage}b{b}"
+            out[name + "_c1"] = fold(t + ".conv1", t + ".bn1")
+            out[name + "_c2"] = fold(t + ".conv2", t + ".bn2")
+            if t + ".downsample.0.weight" in sd:
+                out[name + "_ds"] = fold(t + ".downsample.0", t + ".downsample.1")
+    return out
 
 
 def phosc_loss(
