@@ -6,6 +6,54 @@ don't stick — use jax.config.update before any backend initialisation.
 """
 
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Tests measured >= ~10s on a 1-core CPU host get the `slow` marker and
+# are deselected by default (pyproject addopts). `pytest -m slow` runs
+# just them; `pytest -m ""` runs everything. All tiers must stay green.
+SLOW_TESTS = {
+    "test_trainer_two_epochs_and_resume",
+    "test_trainer_writes_metrics_jsonl",
+    "test_trainer_with_phosc_batches",
+    "test_remat_forward_and_grad_match",
+    "test_train_step_decreases_loss",
+    "test_ctc_aux_loss",
+    "test_train_step_tp_mesh",
+    "test_train_step_sharded_on_mesh",
+    "test_style_vec_mode_trains_through_style_proj",
+    "test_trainer_derives_cond_latents",
+    "test_char_images_mode_trains_through_glyph_conv",
+    "test_cond_latents_mode_concats_at_conv_in",
+    "test_latent_mode_sampler_with_vae",
+    "test_regen_no_filter_writes_all",
+    "test_sharded_sampling_over_mesh",
+    "test_style_interpolation_sampling",
+    "test_regen_skip_schedule_and_deterministic",
+    "test_ctc_loss_trains_toy_recognizer",
+    "test_recognizer_shapes_and_decode_pipeline",
+    "test_encode_decode_shapes",
+    "test_latent_cache_roundtrip",
+    "test_style_encoder_shapes",
+    "test_triplet_loss_and_style_dict",
+    "test_character_counter",
+    "test_forward_shape_research_variant",
+    "test_jit_and_grad",
+    "test_attention_maps_via_intermediates",
+    "test_pretrain_phoscnet_forward_and_heads",
+    "test_converted_tree_structure_matches_init",
+    "test_converted_forward_matches_reference",
+    "test_research_unet_forward_parity",
+    "test_phoscnet_output_shapes",
+    "test_higan_generator_forward_and_grad",
+    "test_higan_adapter_in_standard_train_step",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

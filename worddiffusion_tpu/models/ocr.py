@@ -44,27 +44,37 @@ class ConvBlock(nn.Module):
 
 
 class CTCRecognizer(nn.Module):
-    """conv trunk -> column features -> dilated temporal convs -> CTC."""
+    """conv trunk -> column features -> dilated temporal convs -> CTC.
+
+    ``widths`` scales every stage (tests use narrow models; the
+    production filter uses the default)."""
 
     num_classes: int = 54
+    widths: tuple = (64, 128, 256, 256, 512)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         # [B, 64, W, 1]
+        if x.shape[1] != 64:
+            raise ValueError(
+                f"CTCRecognizer expects 64-px-high input, got {x.shape} "
+                "(the pooling stack collapses exactly 64 -> 1)"
+            )
+        w1, w2, w3, w4, w5 = self.widths
         x = x.astype(jnp.dtype(self.dtype))
-        x = ConvBlock(64, pool=(2, 2), dtype=self.dtype, name="b1")(x)    # 32 x W/2
-        x = ConvBlock(128, pool=(2, 2), dtype=self.dtype, name="b2")(x)   # 16 x W/4
-        x = ConvBlock(256, pool=(2, 1), dtype=self.dtype, name="b3")(x)   # 8  x W/4
-        x = ConvBlock(256, pool=(2, 1), dtype=self.dtype, name="b4")(x)   # 4  x W/4
-        x = ConvBlock(512, pool=(4, 1), dtype=self.dtype, name="b5")(x)   # 1  x W/4
+        x = ConvBlock(w1, pool=(2, 2), dtype=self.dtype, name="b1")(x)    # 32 x W/2
+        x = ConvBlock(w2, pool=(2, 2), dtype=self.dtype, name="b2")(x)   # 16 x W/4
+        x = ConvBlock(w3, pool=(2, 1), dtype=self.dtype, name="b3")(x)   # 8  x W/4
+        x = ConvBlock(w4, pool=(2, 1), dtype=self.dtype, name="b4")(x)   # 4  x W/4
+        x = ConvBlock(w5, pool=(4, 1), dtype=self.dtype, name="b5")(x)   # 1  x W/4
         b, h, w, c = x.shape
         seq = x.reshape(b, h * w, c) if h == 1 else x.mean(axis=1)
 
         # temporal context: dilated 1D convs (receptive field ~ +-12 cols)
         for i, dil in enumerate([1, 2, 4]):
             res = seq
-            seq = nn.Conv(512, (3,), kernel_dilation=(dil,), padding="SAME",
+            seq = nn.Conv(w5, (3,), kernel_dilation=(dil,), padding="SAME",
                           dtype=self.dtype, param_dtype=jnp.float32,
                           name=f"t{i}")(seq)
             seq = nn.relu(seq) + res
