@@ -1,21 +1,26 @@
 """Headline benchmark.
 
 North star (BASELINE.json): full IAM test-set regeneration at >= 50
-sampled 64x256 word images/sec/chip. The headline line reports the
+sampled 64x256 word images/sec/chip. The headline number is the FULL
 regeneration pipeline exactly as the reference runs it
-(``regenerateFromtrain2.py``: 600-step DDPM with the skip-step call
-schedule, ~121 denoiser calls, deterministic update) on the flagship
-320-ch UNet, batch 128, one real chip.
+(``regenerateFromtrain2.py``): 600-step DDPM with the skip-step call
+schedule (~121 denoiser calls, deterministic update) on the flagship
+320-ch UNet, **plus** VAE decode (``:624-636``), the CTC OCR filter
+forward + greedy decode (``:291-315,896-967``), and host PNG writes —
+double-buffered so host work overlaps device compute, batch 128, one
+real chip.
 
-For transparency the metric string also carries the *full* 1000-call
-DDPM number measured in the same run — that mode is HBM/MXU-roofline
-bound at ~22.7 imgs/s/chip (8.7 GFLOP/img/call), so >=50 at 1000 full
-calls exceeds single-chip physics; see ARCHITECTURE.md.
+The metric string also carries two component numbers measured in the
+same run: the latent sampler alone (the round-1 headline) and the full
+1000-call DDPM mode, which is HBM/MXU-roofline bound at ~22.7
+imgs/s/chip (8.7 GFLOP/img/call) — see BENCHMARKS.md.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import time
 
 
@@ -34,11 +39,21 @@ def _best_of(run, rng_fold, x, reps=3):
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from worddiffusion_tpu.configs import presets
-    from worddiffusion_tpu.diffusion.sampler import ddpm_sample, regen_call_mask
+    from worddiffusion_tpu.data.alphabets import OCR_ENG
+    from worddiffusion_tpu.diffusion.sampler import (
+        ddpm_sample, latent_to_image, regen_call_mask,
+    )
     from worddiffusion_tpu.diffusion.schedule import NoiseSchedule
+    from worddiffusion_tpu.models.ocr import CTCRecognizer
     from worddiffusion_tpu.models.unet import UNet
+    from worddiffusion_tpu.models.vae import (
+        AutoencoderKL, decode_from_latent,
+    )
+    from worddiffusion_tpu.ops.ctc import collapse_and_decode
+    from worddiffusion_tpu.utils.images import save_single_images
 
     BATCH = 128
     exp = presets.get("iam")
@@ -46,31 +61,94 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
 
     x = jax.random.normal(rng, (BATCH, 8, 32, 4), jnp.float32)
-    ctx = jax.random.randint(
-        rng, (BATCH, exp.data.max_chars), 0, 53
-    )
+    ctx = jax.random.randint(rng, (BATCH, exp.data.max_chars), 0, 53)
     wid = jnp.ones((BATCH,), jnp.int32)
     params = model.init(rng, x[:1], jnp.zeros((1,), jnp.int32), ctx[:1], wid[:1])
 
-    def eps_fn(xx, tt):
-        return model.apply(params, xx, tt, ctx, wid)
+    vae = AutoencoderKL(exp.vae)
+    vae_params = vae.init(
+        rng, jnp.zeros((1, 64, 256, 3), jnp.float32), jax.random.PRNGKey(0)
+    )
+    ocr = CTCRecognizer(num_classes=len(OCR_ENG))
+    ocr_vars = ocr.init(rng, jnp.zeros((1, 64, 256, 1), jnp.float32))
 
     fold = lambda i: jax.random.fold_in(rng, i)
-
-    # 1) the regeneration pipeline (reference skip-step schedule)
     s600 = NoiseSchedule.linear(600)
     mask = regen_call_mask(600, epoch=0)
-    regen_run = jax.jit(
-        lambda r, xi: ddpm_sample(
-            s600, eps_fn, r, xi, stochastic=False, call_mask=mask
-        )
-    )
-    dt_regen = _best_of(regen_run, fold, x)
-    regen_ips = BATCH / dt_regen / jax.device_count()
 
-    # 2) full 1000-step DDPM (every step a model call)
+    # params enter every jitted program as ARGUMENTS, not closed-over
+    # constants — the axon tunnel rejects programs with embedded
+    # multi-hundred-MB constant blobs (HTTP 413)
+
+    # 1) latent sampler alone (round-1 headline, kept for comparison)
+    @jax.jit
+    def sampler_run_p(p, r, xi):
+        return ddpm_sample(
+            s600, lambda xx, tt: model.apply(p, xx, tt, ctx, wid),
+            r, xi, stochastic=False, call_mask=mask,
+        )
+
+    sampler_run = lambda r, xi: sampler_run_p(params, r, xi)
+    dt_sampler = _best_of(sampler_run, fold, x)
+    sampler_ips = BATCH / dt_sampler / jax.device_count()
+
+    # 2) FULL pipeline: sampler -> VAE decode -> OCR logits on device;
+    #    greedy CTC decode + exact-match filter + PNG writes on host,
+    #    double-buffered exactly like generate/regenerate.Regenerator
+    @jax.jit
+    def pipeline_run_p(p, vp, ov, r, xi):
+        lat = ddpm_sample(
+            s600, lambda xx, tt: model.apply(p, xx, tt, ctx, wid),
+            r, xi, stochastic=False, call_mask=mask,
+        )
+        img = latent_to_image(
+            lat, lambda z: decode_from_latent(vae, vp, z * 0.18215)
+        )
+        logits = ocr.apply(ov, img[..., :1] * 2.0 - 1.0)
+        ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        img_u8 = (img * 255.0).astype(jnp.uint8)
+        return img_u8, ids
+
+    pipeline_run = lambda r, xi: pipeline_run_p(params, vae_params, ocr_vars, r, xi)
+
+    words = ["benchword"] * BATCH
+    out_dir = tempfile.mkdtemp(prefix="bench_regen_")
+
+    def host_process(imgs_u8, ids, tag):
+        decoded = collapse_and_decode(np.asarray(ids), OCR_ENG)
+        keep = [i for i, d in enumerate(decoded) if d == words[i]] or list(range(BATCH))
+        save_single_images(
+            np.asarray(imgs_u8)[keep], [f"{tag}_{i}.png" for i in keep], out_dir
+        )
+
+    # warmup/compile
+    jax.block_until_ready(pipeline_run(fold(100), x)[0])
+    N = 4
+    pending = None
+    t0 = time.perf_counter()
+    for i in range(N):
+        out = pipeline_run(fold(200 + i), x)   # async dispatch
+        if pending is not None:
+            host_process(*pending, tag=f"b{i - 1}")
+        pending = out
+    host_process(*pending, tag=f"b{N - 1}")
+    jax.block_until_ready(out)
+    dt_pipe = (time.perf_counter() - t0) / N
+    pipe_ips = BATCH / dt_pipe / jax.device_count()
+    for f in os.listdir(out_dir):
+        os.remove(os.path.join(out_dir, f))
+    os.rmdir(out_dir)
+
+    # 3) full 1000-step DDPM (every step a model call)
     s1000 = NoiseSchedule.linear(1000)
-    full_run = jax.jit(lambda r, xi: ddpm_sample(s1000, eps_fn, r, xi))
+
+    @jax.jit
+    def full_run_p(p, r, xi):
+        return ddpm_sample(
+            s1000, lambda xx, tt: model.apply(p, xx, tt, ctx, wid), r, xi
+        )
+
+    full_run = lambda r, xi: full_run_p(params, r, xi)
     dt_full = _best_of(full_run, fold, x, reps=2)
     full_ips = BATCH / dt_full / jax.device_count()
 
@@ -79,13 +157,15 @@ def main() -> None:
         json.dumps(
             {
                 "metric": (
-                    "IAM regen imgs/sec/chip, reference skip-step 600-step "
-                    f"DDPM pipeline (full 1000-call DDPM: {full_ips:.1f} "
-                    "imgs/s/chip, roofline ~22.7)"
+                    "IAM regen imgs/sec/chip, FULL reference pipeline "
+                    "(skip-step 600-step DDPM + VAE decode + OCR filter "
+                    f"+ PNG writes, double-buffered; latent sampler alone: "
+                    f"{sampler_ips:.1f}, full 1000-call DDPM: {full_ips:.1f} "
+                    "imgs/s/chip)"
                 ),
-                "value": round(regen_ips, 1),
+                "value": round(pipe_ips, 1),
                 "unit": "imgs/sec/chip",
-                "vs_baseline": round(regen_ips / baseline, 3),
+                "vs_baseline": round(pipe_ips / baseline, 3),
             }
         )
     )

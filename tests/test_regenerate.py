@@ -105,6 +105,37 @@ def test_regen_ocr_filter_rejects(tmp_path):
     assert len(os.listdir(tmp_path / "out" / "rejected")) == 4
 
 
+def test_regen_fused_ocr_accepts_matching_word(tmp_path):
+    """With a WordSampler, the OCR forward+argmax fuse into the device
+    program (sample_async returns (uint8 images, frame ids)); a stub
+    that spells 'the' accepts exactly the 'the' samples."""
+    import jax.numpy as jnp
+
+    from worddiffusion_tpu.data.alphabets import OCR_ENG
+
+    exp = pixel_exp()
+    sampler = make_sampler(exp)
+
+    t_id, h_id, e_id = (OCR_ENG.index(c) for c in "the")
+
+    def spell_the(imgs):
+        b, tframes = imgs.shape[0], 4
+        logits = jnp.full((b, tframes, len(OCR_ENG)), -10.0, jnp.float32)
+        for frame, cid in enumerate([t_id, h_id, e_id]):
+            logits = logits.at[:, frame, cid].set(10.0)
+        logits = logits.at[:, 3, 0].set(10.0)  # trailing blank
+        return logits
+
+    regen = Regenerator(sampler, ocr_apply=spell_the, out_dir=str(tmp_path / "out"))
+    assert sampler.ocr_apply is spell_the  # fused into the sampler
+    stats = regen.run(corpus(), batch_size=4)
+    n_the = sum(1 for s in corpus() if s.word == "the")
+    assert stats.generated == 8
+    assert stats.accepted == n_the
+    files = os.listdir(tmp_path / "out")
+    assert len(files) == n_the and all("_the.png" in f for f in files)
+
+
 def test_regen_stop_flag(tmp_path):
     flag = tmp_path / "flagGen.txt"
     flag.write_text("0")
@@ -193,7 +224,8 @@ def test_style_interpolation_sampling():
 
 
 def test_latent_mode_sampler_with_vae(tmp_path):
-    """WordSampler latent mode: sample -> VAE decode -> [0,1] floats."""
+    """WordSampler latent mode: sample -> VAE decode -> uint8 on device
+    (only 1 byte/px crosses the device->host link)."""
     from worddiffusion_tpu.configs.config import (
         DataConfig, DiffusionConfig, Experiment, UNetConfig, VAEConfig,
     )
@@ -219,5 +251,4 @@ def test_latent_mode_sampler_with_vae(tmp_path):
     sampler = WordSampler(exp, params, vae, vae_params, ddim_steps=4)
     imgs = sampler.sample(["text", "prop"], [0, 1], rng)
     assert imgs.shape == (2, 64, 256, 3)
-    assert imgs.dtype == np.float32
-    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+    assert imgs.dtype == np.uint8

@@ -25,6 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_ocr_filter", type=int, default=0)
     p.add_argument("--use_ema", type=int, default=1)
     p.add_argument("--stable_dif_path", default="")
+    p.add_argument("--vae_ckpt", default="",
+                   help="orbax dir from cli.train_vae (in-repo codec)")
     p.add_argument("--flagGen", default="", help="stop-flag file")
     p.add_argument("--partialLoad", type=float, default=0.0)
     p.add_argument("--max_batches", type=int, default=0)
@@ -54,7 +56,7 @@ def main(argv=None) -> None:
     exp = presets.get(args.preset)
     state = load_state(exp, args.ckpt_dir)
     params = state.ema_params if args.use_ema else state.params
-    vae, vae_params = (make_vae(exp, args.stable_dif_path)
+    vae, vae_params = (make_vae(exp, args.stable_dif_path, args.vae_ckpt)
                        if exp.data.latent else (None, None))
 
     mask = regen_call_mask(

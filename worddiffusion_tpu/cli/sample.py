@@ -28,6 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use DDIM with N steps instead of full DDPM")
     p.add_argument("--ddim_eta", type=float, default=0.0)
     p.add_argument("--stable_dif_path", default="")
+    p.add_argument("--vae_ckpt", default="",
+                   help="orbax dir from cli.train_vae (in-repo codec)")
     p.add_argument("--crop_whitespace", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -54,7 +56,10 @@ def load_state(exp, ckpt_dir):
     return mgr.restore(state)
 
 
-def make_vae(exp, stable_dif_path):
+def make_vae(exp, stable_dif_path, vae_ckpt: str = ""):
+    """Frozen codec from either a diffusers SD checkpoint
+    (``--stable_dif_path``, the reference path) or an orbax directory
+    written by ``cli.train_vae`` (``--vae_ckpt``, the in-repo path)."""
     import jax
 
     from ..models.vae import AutoencoderKL, convert_diffusers_vae
@@ -64,12 +69,23 @@ def make_vae(exp, stable_dif_path):
         from safetensors.numpy import load_file
 
         return vae, convert_diffusers_vae(load_file(stable_dif_path), exp.vae)
-    logging.warning("no --stable_dif_path: randomly initialised VAE decoder")
     params = vae.init(
         jax.random.PRNGKey(0),
         np.zeros((1, exp.data.img_height, exp.data.img_width, 3), np.float32),
         jax.random.PRNGKey(0),
     )
+    if vae_ckpt:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(os.path.abspath(vae_ckpt))
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no VAE checkpoint in {vae_ckpt}")
+        params = mgr.restore(step, args=ocp.args.StandardRestore(params))
+        return vae, params
+    logging.warning("no --stable_dif_path / --vae_ckpt: randomly initialised VAE")
     return vae, params
 
 
@@ -96,7 +112,7 @@ def main(argv=None) -> None:
     else:
         raise SystemExit("need --ckpt_dir or --torch_ckpt")
 
-    vae, vae_params = (make_vae(exp, args.stable_dif_path)
+    vae, vae_params = (make_vae(exp, args.stable_dif_path, args.vae_ckpt)
                        if exp.data.latent else (None, None))
     sampler = WordSampler(exp, params, vae, vae_params, cfg_scale=args.cfg_scale,
                           ddim_steps=args.ddim, ddim_eta=args.ddim_eta)

@@ -41,8 +41,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--augMaps", type=int, default=0)
     p.add_argument("--vaeFromDict", type=int, default=0)
     p.add_argument("--latent_cache", default="", help="npz from latent-cache builder")
+    p.add_argument("--preview_ddim", type=int, default=50,
+                   help="DDIM steps for epoch previews; 0 = full DDPM "
+                        "(the reference preview path)")
+    p.add_argument("--vae_ckpt", default="",
+                   help="orbax dir from cli.train_vae (in-repo codec)")
     p.add_argument("--stable_dif_path", default="",
                    help="diffusers VAE checkpoint (safetensors) to load")
+    p.add_argument("--ckpt_every_epochs", type=int, default=0,
+                   help="override the preset's checkpoint/preview cadence "
+                        "(reference: every 5 epochs)")
     p.add_argument("--stopFlagFile", default="")
     p.add_argument("--loadPrev", type=int, default=0)
     p.add_argument("--partialLoad", type=float, default=0.0)
@@ -51,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on the synthetic corpus (no image dir needed)")
+    p.add_argument("--vocab_size", type=int, default=10,
+                   help="synthetic mode: distinct words")
+    p.add_argument("--samples_per_word", type=int, default=16)
     p.add_argument("--hiGanArch", type=int, default=0,
                    help="1: BigGAN-style generator as the denoiser")
     return p
@@ -83,6 +94,8 @@ def experiment_from_args(args) -> "Experiment":
             stop_flag_file=args.stopFlagFile or None,
             ctc_weight=0.1 if args.ocrTraining else 0.0,
             seed=args.seed,
+            **({"ckpt_every_epochs": args.ckpt_every_epochs}
+               if args.ckpt_every_epochs else {}),
         ),
         mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
         unet=dataclasses.replace(
@@ -155,7 +168,12 @@ def main(argv=None) -> None:
         logging.info("multi-host: process %d/%d", pid, pcount)
 
     if args.synthetic or not args.gt_train:
-        samples = synthetic_corpus(samples_per_word=16)
+        from ..data.synthetic import word_list
+
+        samples = synthetic_corpus(
+            words=word_list(args.vocab_size),
+            samples_per_word=args.samples_per_word,
+        )
         registry = WriterRegistry()
         for s in samples:
             registry.add(s.writer)
@@ -197,21 +215,10 @@ def main(argv=None) -> None:
     if exp.data.latent:
         import jax
 
-        from ..models.vae import AutoencoderKL, encode_to_latent
-        from ..models.vae import convert_diffusers_vae
+        from ..models.vae import encode_to_latent
+        from .sample import make_vae
 
-        vae = AutoencoderKL(exp.vae)
-        if args.stable_dif_path:
-            from safetensors.numpy import load_file
-
-            vae_params = convert_diffusers_vae(load_file(args.stable_dif_path), exp.vae)
-        else:
-            logging.warning("no --stable_dif_path: using randomly initialised VAE")
-            vae_params = vae.init(
-                jax.random.PRNGKey(0),
-                np.zeros((1, exp.data.img_height, exp.data.img_width, 3), np.float32),
-                jax.random.PRNGKey(0),
-            )
+        vae, vae_params = make_vae(exp, args.stable_dif_path, args.vae_ckpt)
         if cache is None:
             enc = jax.jit(lambda imgs, rng: encode_to_latent(vae, vae_params, imgs, rng))
             encode_fn = lambda imgs, rng: enc(imgs, rng)
@@ -226,7 +233,9 @@ def main(argv=None) -> None:
         model = HiGanDenoiserAdapter(exp.unet)
 
     # epoch preview grids of the fixed probe words (reference
-    # train.py:298-313), sampled with the EMA weights
+    # train.py:298-313), sampled with the EMA weights. ≈divergence
+    # (documented in PARITY.md): previews default to DDIM-50 for speed;
+    # --preview_ddim 0 restores the reference's full-DDPM previews.
     preview_fn = None
     if not args.hiGanArch:
         import jax
@@ -234,7 +243,8 @@ def main(argv=None) -> None:
         from ..generate.sample import WordSampler
         from ..utils.images import save_image_grid
 
-        sampler = WordSampler(exp, None, vae, vae_params, ddim_steps=50)
+        sampler = WordSampler(exp, None, vae, vae_params,
+                              ddim_steps=args.preview_ddim)
 
         def preview_fn(state, epoch):
             sampler.params = state.ema_params

@@ -28,6 +28,11 @@ def main(argv=None) -> None:
     p.add_argument("--save_dir", default="./runs/ocr")
     p.add_argument("--lang", default="eng", choices=["eng", "nor"])
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--vocab_size", type=int, default=100,
+                   help="synthetic mode: number of distinct words")
+    p.add_argument("--samples_per_word", type=int, default=32)
+    p.add_argument("--eval_renders", type=int, default=4,
+                   help="held-out renders per vocab word (unseen seeds)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -47,7 +52,12 @@ def main(argv=None) -> None:
     blank = OCR_ENG_BLANK if args.lang == "eng" else OCR_NOR_BLANK
 
     if args.synthetic or not args.gt_train:
-        samples = synthetic_corpus(samples_per_word=32)
+        from ..data.synthetic import word_list
+
+        samples = synthetic_corpus(
+            words=word_list(args.vocab_size),
+            samples_per_word=args.samples_per_word,
+        )
     else:
         samples, _ = parse_gt(args.gt_train)
 
@@ -66,7 +76,8 @@ def main(argv=None) -> None:
     model = CTCRecognizer(num_classes=len(alphabet))
     rng = jax.random.PRNGKey(args.seed)
     params = model.init(rng, np.zeros((1, 64, 256, 1), np.float32))
-    tx = optax.adam(args.lr)
+    # CTC gradients spike early; clip keeps bf16 training NaN-free
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
     opt = tx.init(params)
 
     @jax.jit
@@ -79,6 +90,33 @@ def main(argv=None) -> None:
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), opt, loss
+
+    # held-out evaluation set: same vocabulary, unseen render seeds
+    # (synthetic jitter makes each seed a distinct image) — a genuine
+    # read-back test, not a training-batch echo
+    eval_words = sorted({s.word for s in samples})
+    eval_imgs, eval_targets = [], []
+    for w in eval_words:
+        for j in range(args.eval_renders):
+            arr = render_word(w, 64, 256, seed=10_000_000 + abs(hash((w, j))) % 2**20)
+            eval_imgs.append(normalize_to_unit(arr[..., :1]))
+            eval_targets.append(w)
+    eval_imgs = np.stack(eval_imgs)
+
+    eval_apply = jax.jit(lambda p, x: model.apply(p, x))
+
+    def heldout_exact_match(params) -> float:
+        hits = 0
+        bs = 128
+        pad = (-len(eval_imgs)) % bs
+        imgs_padded = np.concatenate([eval_imgs, eval_imgs[:pad]]) if pad else eval_imgs
+        decoded: list[str] = []
+        for start in range(0, len(imgs_padded), bs):
+            logits = eval_apply(params, jnp.asarray(imgs_padded[start : start + bs]))
+            decoded.extend(collapse_and_decode(np.asarray(greedy_frame_ids(logits)), alphabet))
+        decoded = decoded[: len(eval_targets)]
+        hits = sum(d == t for d, t in zip(decoded, eval_targets))
+        return hits / len(eval_targets)
 
     np_rng = np.random.default_rng(args.seed)
     os.makedirs(args.save_dir, exist_ok=True)
@@ -100,15 +138,26 @@ def main(argv=None) -> None:
             )
             losses.append(float(loss))
             gstep += 1
-        # quick greedy-decode accuracy on the last batch
-        logits = model.apply(params, imgs)
-        words = collapse_and_decode(np.asarray(greedy_frame_ids(logits)), alphabet)
-        acc = float(np.mean([w == s.word for w, s in zip(words, batch)]))
-        logging.info("epoch %d loss %.4f last-batch exact-match %.3f",
-                     epoch, float(np.mean(losses)), acc)
+        acc = heldout_exact_match(params)
+        logging.info("epoch %d loss %.4f held-out exact-match %.3f (%d imgs)",
+                     epoch, float(np.mean(losses)), acc, len(eval_targets))
         mgr.save(gstep, args=ocp.args.StandardSave(params))
     mgr.wait_until_finished()
-    logging.info("saved OCR recognizer to %s/ckpt", args.save_dir)
+    import json
+
+    with open(os.path.join(args.save_dir, "metrics.json"), "w") as f:
+        json.dump(
+            {
+                "heldout_exact_match": acc,
+                "eval_images": len(eval_targets),
+                "vocab_size": len(eval_words),
+                "epochs": args.epochs,
+                "train_samples": len(samples),
+            },
+            f,
+        )
+    logging.info("saved OCR recognizer to %s/ckpt (held-out %.3f)",
+                 args.save_dir, acc)
 
 
 if __name__ == "__main__":

@@ -81,3 +81,49 @@ def synthetic_corpus(
             out.append(Sample(image=f"syn-{k:05d}.png", writer=str(k % writers), word=w))
             k += 1
     return out
+
+
+# A fixed 200-word english list (high-frequency words + the demo probe
+# words), used to synthesise recognizer/VAE training corpora with a
+# realistic word-length mix. Deterministic: tests and artifacts cite
+# indices into it.
+WORDS_200 = [
+    "the", "of", "and", "text", "getting", "prop", "hand", "writing",
+    "word", "diffusion",
+    "a", "to", "in", "is", "you", "that", "it", "he", "was", "for",
+    "on", "are", "as", "with", "his", "they", "at", "be", "this", "have",
+    "from", "or", "one", "had", "by", "not", "but", "what", "all", "were",
+    "we", "when", "your", "can", "said", "there", "use", "an", "each",
+    "which", "she", "do", "how", "their", "if", "will", "up", "other",
+    "about", "out", "many", "then", "them", "these", "so", "some", "her",
+    "would", "make", "like", "him", "into", "time", "has", "look", "two",
+    "more", "write", "go", "see", "number", "no", "way", "could", "people",
+    "my", "than", "first", "water", "been", "call", "who", "oil", "its",
+    "now", "find", "long", "down", "day", "did", "get", "come", "made",
+    "may", "part", "over", "new", "sound", "take", "only", "little",
+    "work", "know", "place", "year", "live", "me", "back", "give", "most",
+    "very", "after", "thing", "our", "just", "name", "good", "sentence",
+    "man", "think", "say", "great", "where", "help", "through", "much",
+    "before", "line", "right", "too", "mean", "old", "any", "same", "tell",
+    "boy", "follow", "came", "want", "show", "also", "around", "form",
+    "three", "small", "set", "put", "end", "does", "another", "well",
+    "large", "must", "big", "even", "such", "because", "turn", "here",
+    "why", "ask", "went", "men", "read", "need", "land", "different",
+    "home", "us", "move", "try", "kind", "picture", "again", "change",
+    "off", "play", "spell", "air", "away", "animal", "house", "point",
+    "page", "letter", "mother", "answer", "found", "study", "still",
+    "learn", "should", "america", "world",
+]
+
+
+def word_list(n: int) -> list[str]:
+    """First ``n`` words of the fixed list (cycled with a numeric
+    suffix-free repeat if n > 200 is ever requested)."""
+    if n <= len(WORDS_200):
+        return WORDS_200[:n]
+    out = list(WORDS_200)
+    i = 0
+    while len(out) < n:
+        out.append(WORDS_200[i % len(WORDS_200)] + WORDS_200[(i * 7 + 3) % len(WORDS_200)])
+        i += 1
+    return out

@@ -72,6 +72,12 @@ class Regenerator:
     ):
         self.sampler = sampler
         self.ocr_apply = ocr_apply
+        # fuse the OCR forward + argmax into the sampling program when
+        # the sampler supports it: only uint8 images + int frame-ids
+        # cross the device->host link (the fp32-image round trip is the
+        # single biggest cost after the sampler itself)
+        if ocr_apply is not None and getattr(sampler, "ocr_apply", "absent") is None:
+            sampler.ocr_apply = ocr_apply
         self.ocr_alphabet = ocr_alphabet
         self.out_dir = out_dir
         self.writer_lookup = writer_lookup or (lambda w: int(w) if str(w).isdigit() else 0)
@@ -81,9 +87,11 @@ class Regenerator:
 
     def _filter_words(self, images: np.ndarray) -> list[str]:
         """Decode generated images with the frozen OCR (channel 0,
-        like the reference ``callOCR``)."""
-        gray = jnp.asarray(images[..., :1] * 2.0 - 1.0)  # [0,1] -> [-1,1]
-        logits = self.ocr_apply(gray)
+        like the reference ``callOCR``). Fallback path for samplers
+        without fused OCR (the fused path ships frame-ids directly)."""
+        gray = images[..., :1].astype(np.float32)
+        gray = gray / 127.5 - 1.0 if images.dtype == np.uint8 else gray * 2.0 - 1.0
+        logits = self.ocr_apply(jnp.asarray(gray))
         frames = np.asarray(greedy_frame_ids(logits))
         return collapse_and_decode(frames, self.ocr_alphabet)
 
@@ -142,30 +150,45 @@ class Regenerator:
             # double buffering: dispatch batch N (async, stays on
             # device), then do the host-side OCR filter + PNG writes of
             # batch N-1 while the device samples
-            images = self.sampler.sample_async(
+            out = self.sampler.sample_async(
                 words, wids, jax.random.fold_in(rng, bi), phosc
             )
             if pending is not None:
-                p_images, p_chunk, p_n = pending
-                self._process(np.asarray(p_images)[:p_n], p_chunk[:p_n], stats)
-            pending = (images, chunk, n_real)
+                self._drain(pending, stats)
+            pending = (out, chunk, n_real)
             if (bi + 1) % 10 == 0:
                 log.info(
                     "regen batch %d: accept-rate %.3f (%d/%d)",
                     bi, stats.accept_rate, stats.accepted, stats.generated,
                 )
         if pending is not None:
-            p_images, p_chunk, p_n = pending
-            self._process(np.asarray(p_images)[:p_n], p_chunk[:p_n], stats)
+            self._drain(pending, stats)
         log.info(
             "regen done: %d generated, %d accepted (%.3f), %d pre-existing",
             stats.generated, stats.accepted, stats.accept_rate, stats.skipped_existing,
         )
         return stats
 
-    def _process(self, images: np.ndarray, chunk, stats: RegenStats) -> None:
+    def _drain(self, pending, stats: RegenStats) -> None:
+        """Sync one dispatched batch to host and post-process it."""
+        out, chunk, n = pending
+        if isinstance(out, tuple):  # fused OCR: (uint8 images, frame ids)
+            images, ids = out
+            self._process(
+                np.asarray(images)[:n], chunk[:n], stats,
+                frame_ids=np.asarray(ids)[:n],
+            )
+        else:
+            self._process(np.asarray(out)[:n], chunk[:n], stats)
+
+    def _process(
+        self, images: np.ndarray, chunk, stats: RegenStats, frame_ids=None
+    ) -> None:
         stats.generated += len(chunk)
-        if self.ocr_apply is not None:
+        if frame_ids is not None:
+            decoded = collapse_and_decode(frame_ids, self.ocr_alphabet)
+            keep = [i for i, ((s, _), d) in enumerate(zip(chunk, decoded)) if d == s.word]
+        elif self.ocr_apply is not None:
             decoded = self._filter_words(images)
             keep = [i for i, ((s, _), d) in enumerate(zip(chunk, decoded)) if d == s.word]
         else:

@@ -35,12 +35,21 @@ class WordSampler:
         ddim_steps: int = 0,
         ddim_eta: float = 0.0,
         mesh=None,
+        ocr_apply=None,
     ):
         """``mesh``: a jax Mesh to shard sampling over its 'data' axis
         (BASELINE config #3: full-set regeneration sharded over a
-        v5e-8 slice). Batches must divide the data-axis size."""
+        v5e-8 slice). Batches must divide the data-axis size.
+
+        ``ocr_apply`` (images [B,H,W,1] in [-1,1] -> CTC logits): when
+        given, the OCR forward + per-frame argmax are FUSED into the
+        sampling program, so only uint8 images + int frame-ids cross
+        the (slow) device->host link — the reference round-trips fp32
+        images through host memory instead
+        (``regenerateFromtrain2.py:880-896``)."""
         self.exp = exp
         self.mesh = mesh
+        self.ocr_apply = ocr_apply
         self.model = UNet(exp.unet)
         self.params = params
         self.vae = vae
@@ -101,13 +110,20 @@ class WordSampler:
                         uncond_eps_fn=uncond_fn,
                     )
                 if self.vae is not None:
-                    return latent_to_image(
+                    img = latent_to_image(
                         lat,
                         lambda z: decode_from_latent(
                             self.vae, self.vae_params, z * 0.18215
                         ),
                     )
-                return pixel_to_uint8(lat)
+                    img = (img * 255.0).astype(jnp.uint8)
+                else:
+                    img = pixel_to_uint8(lat)
+                if self.ocr_apply is not None:
+                    gray = img[..., :1].astype(jnp.float32) / 127.5 - 1.0
+                    ids = jnp.argmax(self.ocr_apply(gray), axis=-1).astype(jnp.int32)
+                    return img, ids
+                return img
 
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -166,13 +182,14 @@ class WordSampler:
         writer_ids2: Optional[Sequence[int]] = None,
         mix_rate: Optional[float] = None,
     ) -> np.ndarray:
-        """-> float images [B, H, W, 3] in [0,1] (latent mode) or uint8
-        (pixel mode), synced to host. ``writer_ids2`` + ``mix_rate``
-        interpolate between two writer styles (reference
+        """-> uint8 images [B, H, W, 3] synced to host (+ OCR frame-id
+        array when ``ocr_apply`` is fused in). ``writer_ids2`` +
+        ``mix_rate`` interpolate between two writer styles (reference
         ``--interpolation``)."""
-        return np.asarray(
-            self.sample_async(words, writer_ids, rng, phosc, writer_ids2, mix_rate)
-        )
+        out = self.sample_async(words, writer_ids, rng, phosc, writer_ids2, mix_rate)
+        if isinstance(out, tuple):
+            return tuple(np.asarray(o) for o in out)
+        return np.asarray(out)
 
     def sample_preview(self, rng: jax.Array, words=None, n: int = 3) -> np.ndarray:
         """Fixed-probe-word preview; writer id forced to ones like the
