@@ -122,3 +122,17 @@ def test_trainer_writes_metrics_jsonl(tmp_path):
     assert lines, "no metrics logged"
     assert "loss" in lines[0] and "mse" in lines[0]
     assert lines[-1]["step"] == len(ds) // exp.data.batch_size
+
+
+def test_metrics_log_images(tmp_path):
+    """log_images records the grid shape in JSONL (wandb mirror is
+    optional); the Trainer calls it with the preview_fn's return."""
+    import json
+
+    from worddiffusion_tpu.utils.metrics import MetricsLogger
+
+    m = MetricsLogger(str(tmp_path / "m.jsonl"))
+    m.log_images(7, "preview", np.zeros((3, 16, 32, 3), np.float32))
+    m.close()
+    rec = json.loads(open(tmp_path / "m.jsonl").readline())
+    assert rec["step"] == 7 and rec["preview_shape"] == [3, 16, 32, 3]

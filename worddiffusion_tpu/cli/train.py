@@ -251,11 +251,12 @@ def main(argv=None) -> None:
             imgs = np.asarray(
                 sampler.sample_preview(jax.random.PRNGKey(epoch))
             ).astype(np.float32)
-            if imgs.max() > 1.5:  # pixel-mode uint8
+            if imgs.max() > 1.5:  # uint8 sampler output
                 imgs = imgs / 255.0
             save_image_grid(
                 imgs, f"{args.save_path}/images/epoch_{epoch:04d}.png", ncol=3
             )
+            return imgs  # Trainer mirrors to wandb/JSONL (train.py:311-313)
 
     trainer = Trainer(
         exp, dataset, encode_fn=encode_fn, model=model, preview_fn=preview_fn

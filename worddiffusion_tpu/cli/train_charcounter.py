@@ -32,7 +32,7 @@ def main(argv=None) -> None:
 
     from ..data.gt import parse_gt
     from ..data.manipulate import balance_by_length
-    from ..data.synthetic import render_word, synthetic_corpus
+    from ..data.synthetic import render_word, stable_seed, synthetic_corpus
     from ..models.charcounter import CharacterCounterNet, counter_loss, length_onehot
     from ..utils.images import normalize_to_unit, resize_and_pad
 
@@ -50,7 +50,7 @@ def main(argv=None) -> None:
         if path and os.path.exists(path):
             arr = np.asarray(Image.open(path).convert("RGB"))
         else:
-            arr = render_word(s.word, 50, 250, seed=abs(hash(s.image)) % 2**31)
+            arr = render_word(s.word, 50, 250, seed=stable_seed(s.image))
         return normalize_to_unit(resize_and_pad(arr, 50, 250))
 
     model = CharacterCounterNet(outputs=args.outputs)

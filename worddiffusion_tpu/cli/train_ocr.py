@@ -43,7 +43,7 @@ def main(argv=None) -> None:
 
     from ..data.alphabets import OCR_ENG, OCR_ENG_BLANK, OCR_NOR, OCR_NOR_BLANK
     from ..data.gt import parse_gt
-    from ..data.synthetic import render_word, synthetic_corpus
+    from ..data.synthetic import render_word, stable_seed, synthetic_corpus
     from ..ops.ctc import collapse_and_decode, ctc_loss, encode_ocr_labels, greedy_frame_ids
     from ..models.ocr import CTCRecognizer
     from ..utils.images import normalize_to_unit, resize_and_pad
@@ -70,7 +70,7 @@ def main(argv=None) -> None:
         if path and _os.path.exists(path):
             arr = np.asarray(Image.open(path).convert("L"))[..., None]
         else:
-            arr = render_word(s.word, 64, 256, seed=abs(hash(s.image)) % 2**31)[..., :1]
+            arr = render_word(s.word, 64, 256, seed=stable_seed(s.image))[..., :1]
         return normalize_to_unit(resize_and_pad(arr, 64, 256))
 
     model = CTCRecognizer(num_classes=len(alphabet))
@@ -98,7 +98,7 @@ def main(argv=None) -> None:
     eval_imgs, eval_targets = [], []
     for w in eval_words:
         for j in range(args.eval_renders):
-            arr = render_word(w, 64, 256, seed=10_000_000 + abs(hash((w, j))) % 2**20)
+            arr = render_word(w, 64, 256, seed=10_000_000 + stable_seed(f"{w}|{j}") % 2**20)
             eval_imgs.append(normalize_to_unit(arr[..., :1]))
             eval_targets.append(w)
     eval_imgs = np.stack(eval_imgs)

@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _load_split(path, image_dir, synthetic, language, n_synth=200):
     from ..data.gt import parse_gt
-    from ..data.synthetic import render_word, synthetic_corpus
+    from ..data.synthetic import render_word, stable_seed, synthetic_corpus
 
     if synthetic or not path:
         samples = synthetic_corpus(samples_per_word=8)[:n_synth]
@@ -51,7 +51,7 @@ def _image_batches(samples, image_dir, batch_size, rng=None):
 
     from PIL import Image
 
-    from ..data.synthetic import render_word
+    from ..data.synthetic import render_word, stable_seed
     from ..utils.images import normalize_to_unit, resize_and_pad
 
     order = np.arange(len(samples))
@@ -66,7 +66,7 @@ def _image_batches(samples, image_dir, batch_size, rng=None):
                 arr = np.asarray(Image.open(p).convert("RGB"))
             else:
                 arr = render_word(s.word, 50, 250,
-                                  seed=abs(hash(s.image)) % (2 ** 31))
+                                  seed=stable_seed(s.image))
             arr = resize_and_pad(arr, 50, 250)
             imgs.append(normalize_to_unit(arr))
             words.append(s.word)

@@ -48,7 +48,7 @@ def main(argv=None) -> None:
 
     from ..configs import presets
     from ..data.gt import parse_gt
-    from ..data.synthetic import render_word, synthetic_corpus, word_list
+    from ..data.synthetic import render_word, stable_seed, synthetic_corpus, word_list
     from ..models.vae import AutoencoderKL
     from ..utils.images import normalize_to_unit, resize_and_pad
 
@@ -70,7 +70,7 @@ def main(argv=None) -> None:
 
             arr = np.asarray(Image.open(path).convert("RGB"))
         else:
-            arr = render_word(s.word, h, w, seed=abs(hash(s.image)) % 2**31)
+            arr = render_word(s.word, h, w, seed=stable_seed(s.image))
         return resize_and_pad(arr, h, w)
 
     logging.info("rendering %d training images once (uint8 cache)", len(samples))

@@ -31,7 +31,7 @@ from ..configs.config import DataConfig
 from ..utils.images import normalize_to_unit, resize_and_pad
 from .gt import Sample, WriterRegistry
 from .phosc import phosc_vector
-from .synthetic import render_word
+from .synthetic import render_word, stable_seed
 from .tokenizer import Tokenizer
 
 
@@ -91,7 +91,7 @@ class WordImageDataset:
         else:
             img = render_word(
                 sample.word, self.cfg.img_height, self.cfg.img_width,
-                seed=abs(hash(sample.image)) % (2 ** 31),
+                seed=stable_seed(sample.image),
             )
         if img.shape[:2] != (self.cfg.img_height, self.cfg.img_width):
             img = resize_and_pad(img, self.cfg.img_height, self.cfg.img_width)

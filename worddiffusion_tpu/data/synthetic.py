@@ -10,10 +10,20 @@ benches end-to-end in any environment. Swap in real crops by pointing
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 from PIL import Image, ImageDraw, ImageFont
 
 from .gt import Sample
+
+
+def stable_seed(name: str) -> int:
+    """Deterministic per-name render seed. ``hash(str)`` is randomised
+    per process (PYTHONHASHSEED), which would make the latent cache,
+    the trainer, and the eval harness each see DIFFERENT pixels for the
+    same sample — use this everywhere a sample name seeds a render."""
+    return zlib.crc32(name.encode()) & 0x7FFFFFFF
 
 
 def render_word(
@@ -24,7 +34,7 @@ def render_word(
     jitter: bool = True,
 ) -> np.ndarray:
     """-> uint8 [height, width, 3], black ink on white."""
-    rng = np.random.default_rng(abs(hash((word, seed))) % (2 ** 31))
+    rng = np.random.default_rng(stable_seed(f"{word}|{seed}"))
     font = ImageFont.load_default()
     # render big, then scale: default bitmap font is ~11px
     scratch = Image.new("L", (max(8 * len(word) + 16, 32), 24), 255)

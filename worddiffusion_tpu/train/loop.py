@@ -174,7 +174,9 @@ class Trainer:
                 self.ckpt.save(int(state.step), state,
                                {"loss": history[-1] if history else 0.0})
             if self.preview_fn is not None and (epoch + 1) % tcfg.ckpt_every_epochs == 0:
-                self.preview_fn(state, epoch)
+                imgs = self.preview_fn(state, epoch)
+                if imgs is not None:  # mirror preview grid (wandb/JSONL)
+                    self.metrics.log_images(int(state.step), "preview", imgs)
             if stopped:
                 break
         return state

@@ -40,6 +40,22 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_images(self, step: int, key: str, images) -> None:
+        """Mirror preview grids to wandb (the reference logs sampled
+        images per epoch, ``train.py:311-313``); JSONL records only the
+        shape — images live on disk next to it."""
+        import numpy as np
+
+        arr = np.asarray(images)
+        self._f.write(json.dumps({
+            "step": int(step), "time": time.time(),
+            f"{key}_shape": list(arr.shape),
+        }) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(
+                {key: [self._wandb.Image(a) for a in arr]}, step=step
+            )
+
     def close(self) -> None:
         self._f.close()
 
