@@ -12,8 +12,9 @@ real chip.
 
 The metric string also carries two component numbers measured in the
 same run: the latent sampler alone (the round-1 headline) and the full
-1000-call DDPM mode, which is HBM/MXU-roofline bound at ~22.7
-imgs/s/chip (8.7 GFLOP/img/call) — see BENCHMARKS.md.
+1000-call DDPM mode, which runs at ~90% of its true (HBM) roofline of
+~15.6 imgs/s/chip — 6.73 GB accessed per 8.7-GFLOP denoiser call; see
+BENCHMARKS.md "full-DDPM roofline, corrected".
 """
 
 from __future__ import annotations

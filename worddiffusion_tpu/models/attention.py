@@ -30,18 +30,25 @@ def _attend(
 ) -> jax.Array:
     """softmax(q k^T * scale) v with fp32 accumulation.
 
-    q: [B, H, Nq, D], k/v: [B, H, Nk, D].
+    q: [B, Nq, H, D], k/v: [B, Nk, H, D] — the head axis stays where the
+    reshape from [B, N, H*D] put it and einsum contracts it in place.
+    (Measured identical to the explicit [B,H,N,D] transpose form —
+    XLA's layout assignment elides those copies either way; kept for
+    simplicity. BENCHMARKS.md roofline notes.)
     """
     if use_pallas:
         from ..ops.attention_pallas import fused_attention
 
-        return fused_attention(q, k, v, scale)
+        return fused_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), scale,
+        ).transpose(0, 2, 1, 3)
     sim = jnp.einsum(
-        "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+        "bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32
     ) * scale
     attn = jax.nn.softmax(sim, axis=-1)
     return jnp.einsum(
-        "bhij,bhjd->bhid", attn.astype(v.dtype), v,
+        "bhij,bjhd->bihd", attn.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
     ).astype(v.dtype)
 
@@ -74,26 +81,26 @@ class CrossAttention(nn.Module):
 
         b, nq, _ = q.shape
         nk = k.shape[1]
-        q = q.reshape(b, nq, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        k = k.reshape(b, nk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        v = v.reshape(b, nk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        q = q.reshape(b, nq, self.heads, self.dim_head)
+        k = k.reshape(b, nk, self.heads, self.dim_head)
+        v = v.reshape(b, nk, self.heads, self.dim_head)
 
         if self.sow_attn:
             # attention-map return option (reference --attentionMaps,
             # ``unet.py:208-279``): expose [B, heads, Nq, Nk] via the
             # flax 'intermediates' collection
             sim = jnp.einsum(
-                "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+                "bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32
             ) * (self.dim_head ** -0.5)
             attn = jax.nn.softmax(sim, axis=-1)
             self.sow("intermediates", "attn", attn)
             out = jnp.einsum(
-                "bhij,bhjd->bhid", attn.astype(v.dtype), v,
+                "bhij,bjhd->bihd", attn.astype(v.dtype), v,
                 preferred_element_type=jnp.float32,
             ).astype(v.dtype)
         else:
             out = _attend(q, k, v, self.dim_head ** -0.5, self.use_pallas)
-        out = out.transpose(0, 2, 1, 3).reshape(b, nq, inner)
+        out = out.reshape(b, nq, inner)
         out = Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
