@@ -19,6 +19,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--fullSampling", type=int, default=0,
                    help="1: full 599 model calls; 0: skip-step schedule")
+    p.add_argument("--ddim", type=int, default=0,
+                   help="beyond-reference: DDIM with N steps instead of "
+                        "the DDPM schedules (fastest regen mode)")
+    p.add_argument("--keep_rejected", type=int, default=0,
+                   help="also write OCR-rejected images under "
+                        "<dump_path>/rejected")
     p.add_argument("--epoch", type=int, default=0, help="skip-schedule epoch knob")
     p.add_argument("--sidChange", type=int, default=0)
     p.add_argument("--ocr_ckpt", default="", help="orbax dir of a trained CTCRecognizer")
@@ -64,10 +70,13 @@ def main(argv=None) -> None:
         full_sampling=bool(args.fullSampling),
     )
     # reference logs its `modelCall` counter (regenerateFromtrain2.py:642)
-    logging.info(
-        "denoiser calls per batch: %d of %d steps",
-        int(mask[1:].sum()), exp.diffusion.num_steps - 1,
-    )
+    if args.ddim:
+        logging.info("denoiser calls per batch: %d (DDIM)", args.ddim)
+    else:
+        logging.info(
+            "denoiser calls per batch: %d of %d steps",
+            int(mask[1:].sum()), exp.diffusion.num_steps - 1,
+        )
     mesh = None
     if jax.device_count() > 1:
         from ..configs.config import MeshConfig
@@ -77,8 +86,9 @@ def main(argv=None) -> None:
         logging.info("sampling sharded over %d chips", mesh.shape["data"])
     sampler = WordSampler(
         exp, params, vae, vae_params,
-        call_mask=mask,
+        call_mask=None if args.ddim else mask,
         stochastic=bool(args.fullSampling),
+        ddim_steps=args.ddim,
         mesh=mesh,
     )
 
@@ -120,6 +130,7 @@ def main(argv=None) -> None:
         writer_lookup=lambda w: registry[w] if w in registry else 0,
         sid_change=args.sidChange,
         stop_flag=args.flagGen or None,
+        keep_rejected=bool(args.keep_rejected),
     )
     stats = regen.run(
         samples,
