@@ -57,6 +57,22 @@ def test_regenerate_parser_defaults():
     )
     assert args.batch_size == 256          # reference regen batch
     assert args.fullSampling == 0          # skip-step by default
+    assert args.ddim == 0                  # DDPM schedules by default
+    assert args.keep_rejected == 0
+    assert args.vae_ckpt == ""
+
+
+def test_train_ckpt_cadence_and_vae_ckpt_flags():
+    from worddiffusion_tpu.cli.train import build_parser, experiment_from_args
+
+    args = build_parser().parse_args(
+        ["--synthetic", "1", "--ckpt_every_epochs", "50"]
+    )
+    exp = experiment_from_args(args)
+    assert exp.train.ckpt_every_epochs == 50
+    # default preserves the reference's every-5-epochs cadence
+    exp0 = experiment_from_args(build_parser().parse_args(["--synthetic", "1"]))
+    assert exp0.train.ckpt_every_epochs == 5
 
 
 def test_sample_parser_requires_some_ckpt():
