@@ -29,6 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_dir", default="./runs/phosc")
     p.add_argument("--flagFile", default="")
     p.add_argument("--prompt", type=int, default=0, help="visual prompt tuning")
+    p.add_argument("--plateau", type=int, default=1,
+                   help="0: plain AdamW (no reduce-on-plateau)")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -105,11 +107,23 @@ def main(argv=None) -> None:
     if prompter is not None:
         prompt_params = prompter.init(rng, init_img)
 
-    # reduce-on-plateau LR like ReduceLROnPlateau (main.py:260-268)
-    tx = optax.chain(
-        optax.adamw(args.lr),
-        optax.contrib.reduce_on_plateau(factor=0.5, patience=5),
-    )
+    # reduce-on-plateau LR like ReduceLROnPlateau (main.py:260-268).
+    # The transform sees one `value` per *step*; the reference's
+    # patience is in epochs, so scale it by steps/epoch — and the value
+    # fed in is the PREVIOUS epoch's mean loss (constant within an
+    # epoch), never a dummy 0.0 (a 0.0 "best" would mark every real
+    # loss as a plateau and collapse the lr to zero).
+    steps_per_epoch = max(1, len(train_samples) // args.batch_size)
+    if args.plateau:
+        tx = optax.chain(
+            optax.adamw(args.lr),
+            optax.contrib.reduce_on_plateau(
+                factor=0.5, patience=5 * steps_per_epoch
+            ),
+        )
+    else:
+        # plain AdamW; extra-args wrapper swallows the unused `value=`
+        tx = optax.with_extra_args_support(optax.adamw(args.lr))
     opt_state = tx.init(params)
 
     words = sorted({s.word for s in train_samples})
@@ -135,16 +149,19 @@ def main(argv=None) -> None:
     with open(log_path, "a", newline="") as f:
         csv.writer(f).writerow(["epoch", "loss", "zsl_acc"])
 
-    apply_eval = jax.jit(lambda imgs: model.apply(params, imgs))
+    # params enter as a jit ARGUMENT: a closed-over param tree embeds
+    # as constants (one compile per epoch + oversized programs on
+    # remote-compile backends)
+    apply_eval = jax.jit(lambda p, imgs: model.apply(p, imgs))
 
     if args.mode == "train":
         np_rng = np.random.default_rng(args.seed)
+        plateau_value = jnp.asarray(1e9)  # "no best yet"
         for epoch in range(args.epochs):
             if stop.should_stop():
                 logging.info("flag stop at epoch %d", epoch)
                 break
             losses = []
-            plateau_value = jnp.asarray(0.0)
             for imgs, batch_words in _image_batches(
                 train_samples, args.image_dir, args.batch_size, np_rng
             ):
@@ -153,12 +170,13 @@ def main(argv=None) -> None:
                 params, opt_state, loss = train_step(
                     params, opt_state, jnp.asarray(imgs), tp, tc, plateau_value
                 )
-                plateau_value = loss
                 losses.append(float(loss))
+            # previous-epoch mean loss drives the plateau schedule
+            plateau_value = jnp.asarray(float(np.mean(losses)) if losses else 1e9)
 
-            eval_fn = jax.jit(lambda imgs, p=params: model.apply(p, imgs))
+            cur = params
             acc, _ = zsl_accuracy(
-                lambda im: eval_fn(jnp.asarray(im)),
+                lambda im: apply_eval(cur, jnp.asarray(im)),
                 _image_batches(valid_samples, args.image_dir, args.batch_size),
                 [s.word for s in valid_samples],
                 args.language,
@@ -176,7 +194,7 @@ def main(argv=None) -> None:
     else:
         test_samples = _load_split(args.test_csv, args.image_dir, args.synthetic, args.language)
         acc, by_len = zsl_accuracy(
-            lambda im: apply_eval(jnp.asarray(im)),
+            lambda im: apply_eval(params, jnp.asarray(im)),
             _image_batches(test_samples, args.image_dir, args.batch_size),
             [s.word for s in test_samples],
             args.language,
