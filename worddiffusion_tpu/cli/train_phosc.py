@@ -31,20 +31,34 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompt", type=int, default=0, help="visual prompt tuning")
     p.add_argument("--plateau", type=int, default=1,
                    help="0: plain AdamW (no reduce-on-plateau)")
+    p.add_argument("--n_synth", type=int, default=200,
+                   help="synthetic mode: training-set size")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     return p
 
 
-def _load_split(path, image_dir, synthetic, language, n_synth=200):
+def _load_split(path, image_dir, synthetic, language, n_synth=200, split="train"):
+    """Synthetic mode builds a genuine zero-shot split: the first 80% of
+    the vocabulary trains, the last 20% (words never seen in training)
+    validates/tests — matching the seen/unseen protocol of the
+    reference (``split_to_seen_and_unseen.py``)."""
     from ..data.gt import parse_gt
-    from ..data.synthetic import render_word, stable_seed, synthetic_corpus
+    from ..data.synthetic import render_word, stable_seed, synthetic_corpus, word_list
 
     if synthetic or not path:
-        samples = synthetic_corpus(samples_per_word=8)[:n_synth]
+        vocab = word_list(max(10, n_synth // 8))
+        cut = max(1, int(len(vocab) * 0.8))
+        words = vocab[:cut] if split == "train" else vocab[cut:]
+        samples = synthetic_corpus(words=words, samples_per_word=8)
+        if split == "train":
+            samples = samples[:n_synth]
     else:
         samples, _ = parse_gt(path)
     return samples
+
+
+_RENDER_CACHE: dict = {}  # key (image, word): split image names can collide
 
 
 def _image_batches(samples, image_dir, batch_size, rng=None):
@@ -63,13 +77,16 @@ def _image_batches(samples, image_dir, batch_size, rng=None):
         imgs, words = [], []
         for i in order[start : start + batch_size]:
             s = samples[int(i)]
-            p = os.path.join(image_dir, s.image) if image_dir else ""
-            if p and os.path.exists(p):
-                arr = np.asarray(Image.open(p).convert("RGB"))
-            else:
-                arr = render_word(s.word, 50, 250,
-                                  seed=stable_seed(s.image))
-            arr = resize_and_pad(arr, 50, 250)
+            arr = _RENDER_CACHE.get((s.image, s.word))
+            if arr is None:
+                p = os.path.join(image_dir, s.image) if image_dir else ""
+                if p and os.path.exists(p):
+                    arr = np.asarray(Image.open(p).convert("RGB"))
+                else:
+                    arr = render_word(s.word, 50, 250,
+                                      seed=stable_seed(s.image))
+                arr = resize_and_pad(arr, 50, 250)
+                _RENDER_CACHE[(s.image, s.word)] = arr
             imgs.append(normalize_to_unit(arr))
             words.append(s.word)
         yield np.stack(imgs), words
@@ -97,9 +114,10 @@ def main(argv=None) -> None:
     model = PHOSCNet(phos_size=phos_size, phoc_size=phoc_size, trunk=args.model)
     prompter = FixedPatchPrompter() if args.prompt else None
 
-    train_samples = _load_split(args.train_csv, args.image_dir, args.synthetic, args.language)
+    train_samples = _load_split(args.train_csv, args.image_dir, args.synthetic,
+                                args.language, n_synth=args.n_synth)
     valid_samples = _load_split(args.valid_csv, args.image_dir, args.synthetic,
-                                args.language, n_synth=64)
+                                args.language, n_synth=args.n_synth, split="valid")
 
     rng = jax.random.PRNGKey(args.seed)
     init_img = np.zeros((2, 50, 250, 3), np.float32)
@@ -192,7 +210,8 @@ def main(argv=None) -> None:
                 with open(os.path.join(args.save_dir, "best_params.pkl"), "wb") as f:
                     pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
     else:
-        test_samples = _load_split(args.test_csv, args.image_dir, args.synthetic, args.language)
+        test_samples = _load_split(args.test_csv, args.image_dir, args.synthetic,
+                                   args.language, n_synth=args.n_synth, split="test")
         acc, by_len = zsl_accuracy(
             lambda im: apply_eval(params, jnp.asarray(im)),
             _image_batches(test_samples, args.image_dir, args.batch_size),
