@@ -43,7 +43,8 @@ void wd_resize_pad_normalize(const uint8_t* src, int sh, int sw, int c,
     wxv[x] = fx - x0;
   }
 
-  constexpr float kScale = 2.0f / 255.0f;  // u/255*2 - 1
+  // true division: 255/255.f == 1.f exactly (a reciprocal multiply
+  // rounds 255 * fl(1/255) up to 1.0000001, escaping [-1, 1])
   for (int y = 0; y < th; ++y) {
     const float fy = y * ys;
     int y0 = (int)fy;
@@ -60,7 +61,7 @@ void wd_resize_pad_normalize(const uint8_t* src, int sh, int sw, int c,
       for (int k = 0; k < c; ++k) {
         const float v0 = r0[o0 + k] + (r0[o1 + k] - r0[o0 + k]) * wx;
         const float v1 = r1[o0 + k] + (r1[o1 + k] - r1[o0 + k]) * wx;
-        row[x * c + k] = (v0 + (v1 - v0) * wy) * kScale - 1.0f;
+        row[x * c + k] = ((v0 + (v1 - v0) * wy) / 255.0f - 0.5f) * 2.0f;
       }
     }
     for (int x = new_w * c; x < tw * c; ++x) row[x] = 1.0f;  // white pad
@@ -83,11 +84,11 @@ void wd_batch_resize_pad_normalize(const uint8_t* src, const int64_t* offsets,
 
 // uint8 HWC batch -> float32 [-1,1] (same shape).
 void wd_batch_normalize(const uint8_t* src, float* dst, int64_t count) {
-  constexpr float kScale = 2.0f / 255.0f;
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif
-  for (int64_t i = 0; i < count; ++i) dst[i] = src[i] * kScale - 1.0f;
+  for (int64_t i = 0; i < count; ++i)
+    dst[i] = (src[i] / 255.0f - 0.5f) * 2.0f;
 }
 
 // float [0,1] batch -> uint8 (PNG write prep).

@@ -80,3 +80,89 @@ def test_sample_parser_requires_some_ckpt():
 
     args = build_parser().parse_args(["--words", "a,b"])
     assert args.ckpt_dir == "" and args.torch_ckpt == ""
+
+
+def test_writer_registry_resolution_pins_training_order(tmp_path):
+    """Inference conditioning ids come from writers_dict_train.json even
+    when the regen gt enumerates writers in a different order (VERDICT
+    round-2 missing #1; reference full_sampling.py:155-162)."""
+    import json
+
+    from worddiffusion_tpu.cli.sample import resolve_writer_registry
+    from worddiffusion_tpu.data.gt import Sample, WriterRegistry
+
+    save = tmp_path / "run"
+    ckpt = save / "ckpt"
+    ckpt.mkdir(parents=True)
+    # training saw writers in order w3, w1, w2
+    (save / "writers_dict_train.json").write_text(
+        json.dumps({"w3": 0, "w1": 1, "w2": 2})
+    )
+    # the regen gt enumerates them in a DIFFERENT order: w2 first
+    samples = [
+        Sample("a.png", "w2", "the"),
+        Sample("b.png", "w1", "of"),
+        Sample("c.png", "w3", "and"),
+    ]
+    gt_registry = WriterRegistry()
+    for s in samples:
+        gt_registry.add(s.writer)
+    assert gt_registry["w2"] == 0  # first-seen order differs from training
+
+    reg = resolve_writer_registry("", str(ckpt), samples, gt_registry)
+    assert reg["w2"] == 2 and reg["w1"] == 1 and reg["w3"] == 0  # training ids
+
+
+def test_writer_registry_refuses_unknown_writers(tmp_path):
+    import json
+
+    import pytest
+
+    from worddiffusion_tpu.cli.sample import resolve_writer_registry
+    from worddiffusion_tpu.data.gt import Sample, WriterRegistry
+
+    d = tmp_path / "writers_dict_train.json"
+    d.write_text(json.dumps({"w1": 0}))
+    samples = [Sample("a.png", "w9", "the")]
+    with pytest.raises(SystemExit, match="not in the training writers dict"):
+        resolve_writer_registry(str(d), "", samples, WriterRegistry())
+
+
+def test_writer_registry_falls_back_without_dict(tmp_path, caplog):
+    from worddiffusion_tpu.cli.sample import resolve_writer_registry
+    from worddiffusion_tpu.data.gt import Sample, WriterRegistry
+
+    samples = [Sample("a.png", "w1", "the")]
+    gt_registry = WriterRegistry()
+    gt_registry.add("w1")
+    import logging
+
+    with caplog.at_level(logging.WARNING):
+        reg = resolve_writer_registry("", str(tmp_path / "none"), samples, gt_registry)
+    assert reg is gt_registry
+    assert any("writers_dict" in r.message for r in caplog.records)
+
+
+def test_train_phosc_test_mode_requires_trained_weights(tmp_path):
+    """--mode test must refuse to report random-weight accuracy
+    (ADVICE r2 medium)."""
+    import pytest
+
+    from worddiffusion_tpu.cli.train_phosc import main
+
+    with pytest.raises(SystemExit, match="best_params.pkl not found"):
+        main([
+            "--mode", "test", "--synthetic", "1", "--n_synth", "16",
+            "--save_dir", str(tmp_path / "empty"),
+        ])
+
+
+def test_word_list_unique_past_one_cycle():
+    """word_list(n) never repeats (duplicates would leak 'unseen' words
+    across the zero-shot cut; ADVICE r2)."""
+    from worddiffusion_tpu.data.synthetic import word_list
+
+    for n in (500, 1000):
+        words = word_list(n)
+        assert len(words) == n
+        assert len(set(words)) == n

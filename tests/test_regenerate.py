@@ -114,7 +114,6 @@ def test_regen_fused_ocr_accepts_matching_word(tmp_path):
     from worddiffusion_tpu.data.alphabets import OCR_ENG
 
     exp = pixel_exp()
-    sampler = make_sampler(exp)
 
     t_id, h_id, e_id = (OCR_ENG.index(c) for c in "the")
 
@@ -126,8 +125,11 @@ def test_regen_fused_ocr_accepts_matching_word(tmp_path):
         logits = logits.at[:, 3, 0].set(10.0)  # trailing blank
         return logits
 
+    # fusion is opt-in at sampler CONSTRUCTION; the Regenerator never
+    # mutates a sampler it didn't build
+    sampler = make_sampler(exp, ocr_apply=spell_the)
     regen = Regenerator(sampler, ocr_apply=spell_the, out_dir=str(tmp_path / "out"))
-    assert sampler.ocr_apply is spell_the  # fused into the sampler
+    assert sampler.ocr_apply is spell_the
     stats = regen.run(corpus(), batch_size=4)
     n_the = sum(1 for s in corpus() if s.word == "the")
     assert stats.generated == 8

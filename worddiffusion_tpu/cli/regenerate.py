@@ -15,6 +15,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preset", default="iam")
     p.add_argument("--ckpt_dir", required=True)
     p.add_argument("--gt_file", required=True)
+    p.add_argument("--writers_dict", default="",
+                   help="writers_dict_train.json from training; default: "
+                        "auto-discover next to --ckpt_dir")
     p.add_argument("--dump_path", default="./regen")
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--fullSampling", type=int, default=0,
@@ -57,7 +60,7 @@ def main(argv=None) -> None:
     from ..generate.regenerate import Regenerator
     from ..generate.sample import WordSampler
     from ..models.ocr import CTCRecognizer
-    from .sample import load_state, make_vae
+    from .sample import load_state, make_vae, resolve_writer_registry
 
     exp = presets.get(args.preset)
     state = load_state(exp, args.ckpt_dir)
@@ -84,14 +87,6 @@ def main(argv=None) -> None:
 
         mesh = make_mesh(MeshConfig(data=-1, model=1))
         logging.info("sampling sharded over %d chips", mesh.shape["data"])
-    sampler = WordSampler(
-        exp, params, vae, vae_params,
-        call_mask=None if args.ddim else mask,
-        stochastic=bool(args.fullSampling),
-        ddim_steps=args.ddim,
-        mesh=mesh,
-    )
-
     ocr_apply = None
     if not args.no_ocr_filter:
         ocr = CTCRecognizer(num_classes=len(OCR_ENG))
@@ -112,7 +107,22 @@ def main(argv=None) -> None:
             )
         ocr_apply = jax.jit(lambda imgs: ocr.apply(ocr_vars, imgs))
 
-    samples, registry = parse_gt(args.gt_file, partial_load=args.partialLoad)
+    # OCR fused at sampler CONSTRUCTION (only uint8 images + int
+    # frame-ids cross the device->host link); the Regenerator never
+    # mutates a sampler it didn't build
+    sampler = WordSampler(
+        exp, params, vae, vae_params,
+        call_mask=None if args.ddim else mask,
+        stochastic=bool(args.fullSampling),
+        ddim_steps=args.ddim,
+        mesh=mesh,
+        ocr_apply=ocr_apply,
+    )
+
+    samples, gt_registry = parse_gt(args.gt_file, partial_load=args.partialLoad)
+    registry = resolve_writer_registry(
+        args.writers_dict, args.ckpt_dir, samples, gt_registry
+    )
     # multi-host regeneration: each process generates a disjoint slice
     # of the corpus (the filename-based resume scan keeps them disjoint
     # even on shared storage)
@@ -127,7 +137,7 @@ def main(argv=None) -> None:
         sampler,
         ocr_apply=ocr_apply,
         out_dir=args.dump_path,
-        writer_lookup=lambda w: registry[w] if w in registry else 0,
+        writer_lookup=lambda w: registry[w],
         sid_change=args.sidChange,
         stop_flag=args.flagGen or None,
         keep_rejected=bool(args.keep_rejected),

@@ -19,6 +19,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference PyTorch ckpt_*.pt / ema_*.pt to convert and sample from")
     p.add_argument("--words", default="", help="comma-separated words")
     p.add_argument("--gt_file", default="", help="regenerate every (writer,word) pair")
+    p.add_argument("--writers_dict", default="",
+                   help="writers_dict_train.json from training; default: "
+                        "auto-discover next to --ckpt_dir")
     p.add_argument("--writer", type=int, default=-1, help="-1: random per word")
     p.add_argument("--n", type=int, default=1, help="samples per word")
     p.add_argument("--save_path", default="./samples")
@@ -44,7 +47,12 @@ def load_state(exp, ckpt_dir):
 
     model = UNet(exp.unet)
     rng = jax.random.PRNGKey(0)
-    lat = np.zeros((2, exp.data.img_height // 8, exp.data.img_width // 8, 4), np.float32)
+    if exp.data.latent:
+        lat = np.zeros(
+            (2, exp.data.img_height // 8, exp.data.img_width // 8, 4), np.float32
+        )
+    else:  # pixel mode trains on raw HxWx3 images
+        lat = np.zeros((2, exp.data.img_height, exp.data.img_width, 3), np.float32)
     params = model.init(
         rng, lat, np.zeros((2,), np.int32),
         np.zeros((2, exp.data.max_chars), np.int32), np.zeros((2,), np.int32),
@@ -54,6 +62,65 @@ def load_state(exp, ckpt_dir):
     state = TrainState.create(params, tx)
     mgr = CheckpointManager(ckpt_dir)
     return mgr.restore(state)
+
+
+def load_writers_dict(path: str, ckpt_dir: str):
+    """Training-time writer-identity dict. Writer conditioning ids MUST
+    come from ``writers_dict_train.json`` written at training time, not
+    be rebuilt first-seen from the inference gt file — the orders differ
+    whenever the regen corpus isn't the training corpus, silently
+    conditioning on the wrong writers. The reference loads the training
+    dict (``full_sampling.py:155-162``).
+
+    Explicit ``--writers_dict`` wins; otherwise it is auto-discovered in
+    ``<ckpt_dir>`` and its parent (training writes it to
+    ``<save_path>/writers_dict_train.json`` next to ``<save_path>/ckpt``).
+    Returns a WriterRegistry, or None when nothing is found.
+    """
+    from ..data.gt import WriterRegistry
+
+    if path:
+        if not os.path.exists(path):
+            raise SystemExit(f"--writers_dict {path} not found")
+        candidates = [path]
+    elif ckpt_dir:
+        base = os.path.abspath(ckpt_dir).rstrip("/")
+        candidates = [
+            os.path.join(base, "writers_dict_train.json"),
+            os.path.join(os.path.dirname(base), "writers_dict_train.json"),
+        ]
+    else:
+        candidates = []
+    for c in candidates:
+        if os.path.exists(c):
+            logging.info("writer ids from training dict %s", c)
+            return WriterRegistry.from_json(c)
+    return None
+
+
+def resolve_writer_registry(args_writers_dict, ckpt_dir, samples, gt_registry):
+    """Training dict if available; refuses unknown writers (the
+    reference would silently KeyError or misindex). Falls back to the
+    gt-file first-seen registry only with a loud warning."""
+    registry = load_writers_dict(args_writers_dict, ckpt_dir)
+    if registry is None:
+        logging.warning(
+            "no writers_dict_train.json found near %r: writer ids rebuilt "
+            "first-seen from the inference gt file — conditioning will NOT "
+            "match training unless the corpora enumerate writers in the "
+            "same order. Pass --writers_dict to pin the training mapping.",
+            ckpt_dir,
+        )
+        return gt_registry
+    unknown = sorted({s.writer for s in samples if s.writer not in registry})
+    if unknown:
+        raise SystemExit(
+            f"{len(unknown)} writer id(s) in the gt file are not in the "
+            f"training writers dict (first few: {unknown[:10]}); the model "
+            f"was never conditioned on them. Remove them or sample with an "
+            f"explicit --writer id."
+        )
+    return registry
 
 
 def make_vae(exp, stable_dif_path, vae_ckpt: str = ""):
@@ -120,7 +187,10 @@ def main(argv=None) -> None:
     if args.gt_file:
         from ..data.gt import parse_gt
 
-        samples, registry = parse_gt(args.gt_file)
+        samples, gt_registry = parse_gt(args.gt_file)
+        registry = resolve_writer_registry(
+            args.writers_dict, args.ckpt_dir, samples, gt_registry
+        )
         pairs = [(s.word, registry[s.writer]) for s in samples]
     else:
         words = [w for w in args.words.split(",") if w]

@@ -58,17 +58,26 @@ def _load_split(path, image_dir, synthetic, language, n_synth=200, split="train"
     return samples
 
 
-_RENDER_CACHE: dict = {}  # key (image, word): split image names can collide
+# key (image, word): split image names can collide. Bounded: on a real
+# corpus (100k+ IAM crops at 50x250x3 each) an unbounded cache grows to
+# multiple GB; past the cap we evict oldest-inserted (dict order).
+_RENDER_CACHE: dict = {}
+_RENDER_CACHE_CAP = 20_000  # ~2.8 GB of uint8 50x250x3 worst case
 
 
 def _image_batches(samples, image_dir, batch_size, rng=None):
-    """yield (images [B,50,250,3] float[-1,1], words)."""
+    """yield (images [B,50,250,3] float[-1,1], words).
+
+    The cache holds resized uint8; the per-batch [-1,1] normalize runs
+    through the native batch kernel (``data/native.py``, measured 5.5x
+    over numpy on the 1-core host)."""
     import os
 
     from PIL import Image
 
+    from ..data.native import batch_normalize
     from ..data.synthetic import render_word, stable_seed
-    from ..utils.images import normalize_to_unit, resize_and_pad
+    from ..utils.images import resize_and_pad
 
     order = np.arange(len(samples))
     if rng is not None:
@@ -86,10 +95,12 @@ def _image_batches(samples, image_dir, batch_size, rng=None):
                     arr = render_word(s.word, 50, 250,
                                       seed=stable_seed(s.image))
                 arr = resize_and_pad(arr, 50, 250)
+                if len(_RENDER_CACHE) >= _RENDER_CACHE_CAP:
+                    _RENDER_CACHE.pop(next(iter(_RENDER_CACHE)))
                 _RENDER_CACHE[(s.image, s.word)] = arr
-            imgs.append(normalize_to_unit(arr))
+            imgs.append(arr)
             words.append(s.word)
-        yield np.stack(imgs), words
+        yield batch_normalize(np.stack(imgs)), words
 
 
 def main(argv=None) -> None:
@@ -125,34 +136,48 @@ def main(argv=None) -> None:
     if prompter is not None:
         prompt_params = prompter.init(rng, init_img)
 
-    # reduce-on-plateau LR like ReduceLROnPlateau (main.py:260-268).
-    # The transform sees one `value` per *step*; the reference's
-    # patience is in epochs, so scale it by steps/epoch — and the value
-    # fed in is the PREVIOUS epoch's mean loss (constant within an
-    # epoch), never a dummy 0.0 (a 0.0 "best" would mark every real
-    # loss as a plateau and collapse the lr to zero).
+    # reduce-on-plateau LR matching ReduceLROnPlateau(opt, 'max',
+    # factor=0.25, patience=5, threshold=0.0001, cooldown=2) on the
+    # validation ZSL accuracy (main.py:267-268). optax's transform is
+    # min-mode, so we feed it the NEGATED accuracy; it sees one `value`
+    # per *step* while the reference's patience/cooldown are in epochs,
+    # so both are scaled by steps/epoch. The value is constant within an
+    # epoch (last validation result); before the first validation we
+    # feed +1e9 ("no best yet") so nothing registers as a plateau.
     steps_per_epoch = max(1, len(train_samples) // args.batch_size)
     if args.plateau:
         tx = optax.chain(
-            optax.adamw(args.lr),
+            optax.adamw(args.lr, weight_decay=5e-5),
             optax.contrib.reduce_on_plateau(
-                factor=0.5, patience=5 * steps_per_epoch
+                factor=0.25,
+                patience=5 * steps_per_epoch,
+                cooldown=2 * steps_per_epoch,
+                atol=1e-4,
             ),
         )
     else:
         # plain AdamW; extra-args wrapper swallows the unused `value=`
-        tx = optax.with_extra_args_support(optax.adamw(args.lr))
+        tx = optax.with_extra_args_support(optax.adamw(args.lr, weight_decay=5e-5))
     opt_state = tx.init(params)
+
+    def current_lr(opt_state) -> float:
+        """Effective lr = base lr x plateau scale (for the log, like the
+        reference's opt.param_groups[0]['lr'] column)."""
+        if args.plateau:
+            return args.lr * float(opt_state[1].scale)
+        return args.lr
 
     words = sorted({s.word for s in train_samples})
     phos_map = phos_labels(words, args.language)
     phoc_map = phoc_labels(words, args.language)
 
+    step_count = 0
+
     @jax.jit
-    def train_step(params, opt_state, imgs, tp, tc, plateau_value):
+    def train_step(params, opt_state, imgs, tp, tc, plateau_value, step):
         def loss_fn(p):
             out = model.apply(p, imgs, deterministic=False,
-                              rngs={"dropout": jax.random.fold_in(rng, 1)})
+                              rngs={"dropout": jax.random.fold_in(rng, step)})
             return phosc_loss(out, tp, tc)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -164,8 +189,9 @@ def main(argv=None) -> None:
     stop = StopFlag(args.flagFile or None)
     best_acc = -1.0
     log_path = os.path.join(args.save_dir, "log.csv")
-    with open(log_path, "a", newline="") as f:
-        csv.writer(f).writerow(["epoch", "loss", "zsl_acc"])
+    if args.mode == "train":
+        with open(log_path, "a", newline="") as f:
+            csv.writer(f).writerow(["epoch", "loss", "zsl_acc", "lr"])
 
     # params enter as a jit ARGUMENT: a closed-over param tree embeds
     # as constants (one compile per epoch + oversized programs on
@@ -186,11 +212,11 @@ def main(argv=None) -> None:
                 tp = jnp.asarray(np.stack([phos_map[w] for w in batch_words]), jnp.float32)
                 tc = jnp.asarray(np.stack([phoc_map[w] for w in batch_words]), jnp.float32)
                 params, opt_state, loss = train_step(
-                    params, opt_state, jnp.asarray(imgs), tp, tc, plateau_value
+                    params, opt_state, jnp.asarray(imgs), tp, tc, plateau_value,
+                    jnp.asarray(step_count, jnp.int32),
                 )
+                step_count += 1
                 losses.append(float(loss))
-            # previous-epoch mean loss drives the plateau schedule
-            plateau_value = jnp.asarray(float(np.mean(losses)) if losses else 1e9)
 
             cur = params
             acc, _ = zsl_accuracy(
@@ -199,10 +225,15 @@ def main(argv=None) -> None:
                 [s.word for s in valid_samples],
                 args.language,
             )
+            # validation ZSL accuracy drives the plateau schedule
+            # (negated: optax is min-mode, reference runs 'max' mode)
+            plateau_value = jnp.asarray(-acc)
             mean_loss = float(np.mean(losses)) if losses else 0.0
-            logging.info("epoch %d loss %.4f zsl %.4f", epoch, mean_loss, acc)
+            lr_now = current_lr(opt_state)
+            logging.info("epoch %d loss %.4f zsl %.4f lr %.2e",
+                         epoch, mean_loss, acc, lr_now)
             with open(log_path, "a", newline="") as f:
-                csv.writer(f).writerow([epoch, mean_loss, acc])
+                csv.writer(f).writerow([epoch, mean_loss, acc, lr_now])
             if acc > best_acc:  # best-ckpt keep (main.py:297-310)
                 best_acc = acc
                 import pickle
@@ -210,17 +241,45 @@ def main(argv=None) -> None:
                 with open(os.path.join(args.save_dir, "best_params.pkl"), "wb") as f:
                     pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
     else:
+        # test mode evaluates the BEST checkpoint from --save_dir, never
+        # fresh-init params (reference loads epoch.pt, main.py:372-390)
+        import pickle
+
+        best_path = os.path.join(args.save_dir, "best_params.pkl")
+        if not os.path.exists(best_path):
+            raise SystemExit(
+                f"--mode test needs trained weights: {best_path} not found "
+                f"(run --mode train with the same --save_dir first)"
+            )
+        with open(best_path, "rb") as f:
+            params = pickle.load(f)
         test_samples = _load_split(args.test_csv, args.image_dir, args.synthetic,
                                    args.language, n_synth=args.n_synth, split="test")
+        fn = lambda im: apply_eval(params, jnp.asarray(im))
         acc, by_len = zsl_accuracy(
-            lambda im: apply_eval(params, jnp.asarray(im)),
+            fn,
             _image_batches(test_samples, args.image_dir, args.batch_size),
             [s.word for s in test_samples],
             args.language,
         )
-        logging.info("ZSL test acc %.4f by-len %s", acc, by_len)
+        # GZSL: seen split = the training corpus, unseen = the zero-shot
+        # test corpus, both decoded against the union lexicon
+        # (main.py:334-438, engine.py:172-268)
+        from ..eval.zsl import gzsl_accuracy
+
+        gz = gzsl_accuracy(
+            fn,
+            _image_batches(train_samples, args.image_dir, args.batch_size),
+            _image_batches(test_samples, args.image_dir, args.batch_size),
+            [s.word for s in train_samples],
+            [s.word for s in test_samples],
+            args.language,
+        )
+        logging.info("ZSL test acc %.4f by-len %s GZSL %s", acc, by_len, gz)
         with open(os.path.join(args.save_dir, "testresults.txt"), "a") as f:
             f.write(f"zsl={acc}\nby_len={by_len}\n")
+            f.write(f"gzsl_seen={gz['seen']}\ngzsl_unseen={gz['unseen']}\n"
+                    f"gzsl_harmonic={gz['harmonic_mean']}\n")
 
 
 if __name__ == "__main__":

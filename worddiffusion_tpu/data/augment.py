@@ -123,9 +123,13 @@ def vertical_line_eraser(
 ) -> np.ndarray:
     """Random vertical white lines over the word (reference
     ``dump_images``, ``trainModifyCondition.py:125-156``)."""
-    out = img.copy()
+    out = np.ascontiguousarray(img.copy())
     n = int(rng.integers(num_lines[0], num_lines[1] + 1))
     xs = rng.integers(0, img.shape[1], n)
+    if out.dtype == np.uint8 and out.ndim == 3:
+        from .native import vertical_lines
+
+        return vertical_lines(out, xs, value)
     out[:, xs] = value
     return out
 

@@ -127,13 +127,22 @@ WORDS_200 = [
 
 
 def word_list(n: int) -> list[str]:
-    """First ``n`` words of the fixed list (cycled with a numeric
-    suffix-free repeat if n > 200 is ever requested)."""
+    """First ``n`` words of the fixed list; past 200, deterministic
+    compound words, guaranteed UNIQUE (duplicates would leak "unseen"
+    words across a zero-shot train/test cut and inflate ZSL accuracy)."""
     if n <= len(WORDS_200):
         return WORDS_200[:n]
     out = list(WORDS_200)
+    seen = set(out)
     i = 0
     while len(out) < n:
-        out.append(WORDS_200[i % len(WORDS_200)] + WORDS_200[(i * 7 + 3) % len(WORDS_200)])
+        a = WORDS_200[(i // len(WORDS_200)) % len(WORDS_200)]
+        b = WORDS_200[i % len(WORDS_200)]
+        w = a + b
+        if i >= len(WORDS_200) ** 2:  # compound space exhausted
+            w = f"{w}{i}"
         i += 1
+        if w not in seen:
+            seen.add(w)
+            out.append(w)
     return out

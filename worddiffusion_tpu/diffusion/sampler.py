@@ -72,13 +72,17 @@ def ddpm_sample(
     call_mask: Optional[np.ndarray] = None,
     cfg_scale: float = 0.0,
     uncond_eps_fn: Optional[EpsFn] = None,
+    noise_seq: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Run the reverse process and return the final latent.
 
     ``eps_fn(x, t) -> eps_hat`` closes over params + conditioning.
     ``call_mask[t]`` False reuses the previous prediction (skip-step
     regen mode). ``stochastic=False`` is the regen deterministic update
-    (``regenerateFromtrain2.py:615-618``).
+    (``regenerateFromtrain2.py:615-618``). ``noise_seq`` [T, *x.shape]
+    overrides the per-step injected noise (timestep-indexed) — used by
+    the cross-framework trajectory-parity tests to feed the torch
+    reference and this sampler bit-identical noise.
     """
     T = schedule.num_steps
     beta = jnp.asarray(schedule.beta)
@@ -113,9 +117,12 @@ def ddpm_sample(
         ef = eps.astype(jnp.float32)
         mean = (xf - ((1.0 - a) / jnp.sqrt(1.0 - ah)) * ef) / jnp.sqrt(a)
         if stochastic:
-            noise = jax.random.normal(
-                jax.random.fold_in(rng, i), x.shape, jnp.float32
-            )
+            if noise_seq is not None:
+                noise = noise_seq[i].astype(jnp.float32)
+            else:
+                noise = jax.random.normal(
+                    jax.random.fold_in(rng, i), x.shape, jnp.float32
+                )
             noise = jnp.where(i > 1, noise, jnp.zeros_like(noise))
             mean = mean + jnp.sqrt(b) * noise
         x = mean.astype(x.dtype)

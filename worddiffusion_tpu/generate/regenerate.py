@@ -70,14 +70,13 @@ class Regenerator:
         stop_flag: Optional[str] = None,
         keep_rejected: bool = False,
     ):
+        # For the fast fused-OCR path (only uint8 images + int frame-ids
+        # cross the device->host link), construct the WordSampler with
+        # ``ocr_apply=...``; the Regenerator never mutates a sampler it
+        # didn't build — ``ocr_apply`` here is only the host-side
+        # fallback filter for samplers without fusion.
         self.sampler = sampler
         self.ocr_apply = ocr_apply
-        # fuse the OCR forward + argmax into the sampling program when
-        # the sampler supports it: only uint8 images + int frame-ids
-        # cross the device->host link (the fp32-image round trip is the
-        # single biggest cost after the sampler itself)
-        if ocr_apply is not None and getattr(sampler, "ocr_apply", "absent") is None:
-            sampler.ocr_apply = ocr_apply
         self.ocr_alphabet = ocr_alphabet
         self.out_dir = out_dir
         self.writer_lookup = writer_lookup or (lambda w: int(w) if str(w).isdigit() else 0)
