@@ -10,6 +10,7 @@ import pytest
     "worddiffusion_tpu.cli.sample",
     "worddiffusion_tpu.cli.regenerate",
     "worddiffusion_tpu.cli.train_phosc",
+    "worddiffusion_tpu.cli.train_style",
     "worddiffusion_tpu.cli.train_ocr",
     "worddiffusion_tpu.cli.train_charcounter",
     "worddiffusion_tpu.cli.build_latent_cache",
@@ -166,3 +167,37 @@ def test_word_list_unique_past_one_cycle():
         words = word_list(n)
         assert len(words) == n
         assert len(set(words)) == n
+
+
+def test_train_style_parser_and_corpus():
+    from worddiffusion_tpu.cli.train_style import _corpus, _retrieval_accuracy, build_parser
+
+    args = build_parser().parse_args([
+        "--synthetic", "1", "--writers", "3", "--samples_per_writer", "4",
+        "--img_size", "32,96",
+    ])
+    by_writer = _corpus(args)
+    assert len(by_writer) == 3
+    assert all(len(v) == 4 for v in by_writer.values())
+    assert all(c.shape == (32, 96, 3) for v in by_writer.values() for c in v)
+    # perfectly separable embeddings -> retrieval 1.0
+    import numpy as np
+
+    vecs = {w: np.eye(3)[i][None].repeat(4, 0) + 0.01 * np.random.default_rng(i).normal(size=(4, 3))
+            for i, w in enumerate("abc")}
+    assert _retrieval_accuracy(vecs) == 1.0
+
+
+def test_writer_style_deterministic_and_distinct():
+    from worddiffusion_tpu.data.synthetic import render_word, writer_style
+
+    s1, s1b, s2 = writer_style("w1"), writer_style("w1"), writer_style("w2")
+    assert s1 == s1b
+    assert s1 != s2
+    # same writer, different images: consistent slant (style pinned)
+    import numpy as np
+
+    a = render_word("hand", 32, 96, seed=1, style=s1)
+    b = render_word("hand", 32, 96, seed=1, style=s2)
+    assert a.shape == (32, 96, 3)
+    assert not np.array_equal(a, b)  # different writers render differently

@@ -48,7 +48,13 @@ def main(argv=None) -> None:
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--ocr_ckpt", default="")
-    p.add_argument("--phosc_params", default="")
+    p.add_argument("--phosc_params", default="",
+                   help="best_params.pkl from cli.train_phosc; enables the "
+                        "default PHOSC-feature FID + ZSL accuracy")
+    p.add_argument("--phosc_trunk", default="vgg")
+    p.add_argument("--inception_weights", default="",
+                   help="torchvision inception_v3 state dict (.pt/.npz); "
+                        "enables classic Inception FID")
     p.add_argument("--language", default="eng")
     p.add_argument("--out", default="", help="write results json here")
     args = p.parse_args(argv)
@@ -65,21 +71,46 @@ def main(argv=None) -> None:
     logging.info("loaded %d real / %d generated", len(real), len(fake))
     results = {}
 
-    # FID with the in-repo style encoder as feature net (see eval/fid.py
-    # on the Inception caveat)
-    enc = StyleEncoder(dtype="float32")
     rng = jax.random.PRNGKey(0)
-    enc_params = enc.init(rng, real[:1] if len(real) else np.zeros((1, 64, 256, 3), np.float32))
-    feat_fn = jax.jit(lambda im: enc.apply(enc_params, im))
 
-    def batches(arr):
+    def batches(arr, as_jax=True):
         for s in range(0, len(arr), args.batch_size):
-            yield jnp.asarray(arr[s : s + args.batch_size])
+            chunk = arr[s : s + args.batch_size]
+            yield jnp.asarray(chunk) if as_jax else chunk
 
+    # FID featurizer preference: Inception (classic FID, weights on
+    # disk) > trained PHOSCNet trunk (default protocol here) > random
+    # StyleEncoder (relative-only, warned). See eval/fid.py.
     if len(real) > 1 and len(fake) > 1:
-        rf = compute_features(feat_fn, batches(real))
-        ff = compute_features(feat_fn, batches(fake))
-        results["fid_style_encoder"] = fid_score(rf, ff)
+        if args.inception_weights and os.path.exists(args.inception_weights):
+            from ..eval.inception import load_inception_featurizer
+
+            feat_fn = load_inception_featurizer(args.inception_weights)
+            rf = compute_features(feat_fn, batches(real))
+            ff = compute_features(feat_fn, batches(fake))
+            results["fid_inception"] = fid_score(rf, ff)
+        if args.phosc_params:
+            from ..eval.fid import phosc_featurizer
+
+            feat_fn = phosc_featurizer(
+                args.phosc_params, args.language, args.phosc_trunk
+            )
+            rf = compute_features(feat_fn, batches(real, as_jax=False))
+            ff = compute_features(feat_fn, batches(fake, as_jax=False))
+            results["fid_phosc"] = fid_score(rf, ff)
+        if not results:
+            logging.warning(
+                "no --inception_weights / --phosc_params: FID uses a "
+                "RANDOM-INIT StyleEncoder (relative comparisons only)"
+            )
+            enc = StyleEncoder(dtype="float32")
+            enc_params = enc.init(
+                rng, real[:1] if len(real) else np.zeros((1, 64, 256, 3), np.float32)
+            )
+            feat_fn = jax.jit(lambda im: enc.apply(enc_params, im))
+            rf = compute_features(feat_fn, batches(real))
+            ff = compute_features(feat_fn, batches(fake))
+            results["fid_style_encoder"] = fid_score(rf, ff)
 
     if args.ocr_ckpt:
         import orbax.checkpoint as ocp
@@ -109,7 +140,9 @@ def main(argv=None) -> None:
 
         with open(args.phosc_params, "rb") as f:
             pp = pickle.load(f)
-        net = PHOSCNet(phos_size=phos_dim(args.language), phoc_size=phoc_dim(args.language))
+        net = PHOSCNet(phos_size=phos_dim(args.language),
+                       phoc_size=phoc_dim(args.language),
+                       trunk=args.phosc_trunk)
         net_fn = jax.jit(lambda im: net.apply(pp, im))
 
         def phosc_batches():

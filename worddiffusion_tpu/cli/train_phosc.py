@@ -66,16 +66,16 @@ _RENDER_CACHE_CAP = 20_000  # ~2.8 GB of uint8 50x250x3 worst case
 
 
 def _image_batches(samples, image_dir, batch_size, rng=None):
-    """yield (images [B,50,250,3] float[-1,1], words).
+    """yield (images [B,50,250,3] **uint8**, words).
 
-    The cache holds resized uint8; the per-batch [-1,1] normalize runs
-    through the native batch kernel (``data/native.py``, measured 5.5x
-    over numpy on the 1-core host)."""
+    uint8 all the way to the device: the axon host->device link runs
+    ~50 MB/s, so shipping fp32 would quadruple the transfer; the [-1,1]
+    normalize happens on device inside the jitted programs
+    (``_DEV_NORM``)."""
     import os
 
     from PIL import Image
 
-    from ..data.native import batch_normalize
     from ..data.synthetic import render_word, stable_seed
     from ..utils.images import resize_and_pad
 
@@ -100,7 +100,7 @@ def _image_batches(samples, image_dir, batch_size, rng=None):
                 _RENDER_CACHE[(s.image, s.word)] = arr
             imgs.append(arr)
             words.append(s.word)
-        yield batch_normalize(np.stack(imgs)), words
+        yield np.stack(imgs), words
 
 
 def main(argv=None) -> None:
@@ -173,10 +173,14 @@ def main(argv=None) -> None:
 
     step_count = 0
 
+    def _dev_norm(imgs):
+        # uint8 -> [-1,1] on DEVICE (host ships uint8: 4x less transfer)
+        return imgs.astype(jnp.float32) / 127.5 - 1.0
+
     @jax.jit
     def train_step(params, opt_state, imgs, tp, tc, plateau_value, step):
         def loss_fn(p):
-            out = model.apply(p, imgs, deterministic=False,
+            out = model.apply(p, _dev_norm(imgs), deterministic=False,
                               rngs={"dropout": jax.random.fold_in(rng, step)})
             return phosc_loss(out, tp, tc)
 
@@ -196,7 +200,7 @@ def main(argv=None) -> None:
     # params enter as a jit ARGUMENT: a closed-over param tree embeds
     # as constants (one compile per epoch + oversized programs on
     # remote-compile backends)
-    apply_eval = jax.jit(lambda p, imgs: model.apply(p, imgs))
+    apply_eval = jax.jit(lambda p, imgs: model.apply(p, _dev_norm(imgs)))
 
     if args.mode == "train":
         np_rng = np.random.default_rng(args.seed)

@@ -26,14 +26,33 @@ def stable_seed(name: str) -> int:
     return zlib.crc32(name.encode()) & 0x7FFFFFFF
 
 
+def writer_style(writer: str) -> dict:
+    """Deterministic per-writer rendering style (slant, size, ink noise,
+    baseline). Gives synthetic corpora a LEARNABLE writer identity — the
+    reference's writer conditioning / style-encoder training assume
+    writers differ consistently (``feature_extractor.py``); plain
+    per-image jitter has no writer signal."""
+    rng = np.random.default_rng(stable_seed(f"writer-style|{writer}"))
+    return {
+        "shear": float((rng.random() - 0.5) * 0.7),
+        "h_frac": float(0.45 + 0.3 * rng.random()),
+        "noise": float(2.0 + 8.0 * rng.random()),
+        "y_off": int(rng.integers(-5, 6)),
+        "thickness": int(rng.integers(0, 3)),  # 0 none, 1 dilate, 2 erode
+    }
+
+
 def render_word(
     word: str,
     height: int = 64,
     width: int = 256,
     seed: int = 0,
     jitter: bool = True,
+    style: dict | None = None,
 ) -> np.ndarray:
-    """-> uint8 [height, width, 3], black ink on white."""
+    """-> uint8 [height, width, 3], black ink on white. ``style`` (from
+    :func:`writer_style`) pins the writer-consistent parameters; per-image
+    jitter then varies around them."""
     rng = np.random.default_rng(stable_seed(f"{word}|{seed}"))
     font = ImageFont.load_default()
     # render big, then scale: default bitmap font is ~11px
@@ -47,15 +66,31 @@ def render_word(
         scratch = scratch.crop(
             (cols[0], rows[0], cols[-1] + 1, rows[-1] + 1)
         )
-    target_h = int(height * (0.45 + 0.25 * rng.random())) if jitter else max(2, height * 3 // 4)
+    if style is not None:
+        h_frac = style["h_frac"] + (0.04 * (rng.random() - 0.5) if jitter else 0.0)
+        target_h = int(height * h_frac)
+    elif jitter:
+        target_h = int(height * (0.45 + 0.25 * rng.random()))
+    else:
+        target_h = max(2, height * 3 // 4)
     target_h = max(2, min(height, target_h))
     scale = target_h / scratch.size[1]
     margin = min(8, max(0, width - 4))  # tiny canvases (glyph crops) keep >0 width
     new_w = min(max(width - margin, 2), max(2, int(scratch.size[0] * scale)))
     word_img = scratch.resize((new_w, target_h), Image.BILINEAR)
 
-    if jitter:
-        shear = (rng.random() - 0.5) * 0.4
+    if style is not None and style.get("thickness"):
+        from PIL import ImageFilter
+
+        word_img = word_img.filter(
+            ImageFilter.MinFilter(3) if style["thickness"] == 1
+            else ImageFilter.MaxFilter(3)
+        )
+    if jitter or style is not None:
+        if style is not None:
+            shear = style["shear"] + (0.06 * (rng.random() - 0.5) if jitter else 0.0)
+        else:
+            shear = (rng.random() - 0.5) * 0.4
         word_img = word_img.transform(
             word_img.size, Image.AFFINE, (1, shear, 0, 0, 1, 0), fillcolor=255
         )
@@ -64,12 +99,15 @@ def render_word(
     max_x = max(1, width - new_w)
     x = int(rng.integers(0, max(1, max_x // 4))) if jitter else (width - new_w) // 2
     y = (height - target_h) // 2 + (int(rng.integers(-4, 5)) if jitter else 0)
+    if style is not None:
+        y += style["y_off"]
     y = max(0, min(height - target_h, y))
     canvas.paste(word_img, (x, y))
 
     out = np.asarray(canvas, dtype=np.float32)
     if jitter:
-        out = out + rng.normal(0, 6.0, out.shape)
+        sigma = style["noise"] if style is not None else 6.0
+        out = out + rng.normal(0, sigma, out.shape)
     out = np.clip(out, 0, 255).astype(np.uint8)
     return np.stack([out, out, out], axis=-1)
 

@@ -228,3 +228,150 @@ def load_torch_checkpoint(path: str) -> dict:
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     return {k: v.numpy() for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# Reverse export: Flax params -> reference-format torch state dict, so
+# models trained here can be evaluated by any reference-side tooling.
+# The weight transforms are pure transposes, so torch -> flax -> torch
+# round-trips BITWISE for every parameter the forward converter keeps
+# (tests/test_convert_export.py). What cannot round-trip: the
+# reference's dead parameters (to_kv/attnc/norm1 of the research
+# variant — pass the original sd as ``template`` to carry them
+# through), and the CTC aux head (BatchNorm folded at import, lossy).
+
+
+def _inv_conv(node, prefix, out):
+    out[prefix + ".weight"] = np.ascontiguousarray(
+        _t(node["Conv_0"]["kernel"]).transpose(3, 2, 0, 1)
+    )
+    out[prefix + ".bias"] = _t(node["Conv_0"]["bias"])
+
+
+def _inv_dense(node, prefix, out, bias=True):
+    out[prefix + ".weight"] = np.ascontiguousarray(_t(node["Dense_0"]["kernel"]).T)
+    if bias:
+        out[prefix + ".bias"] = _t(node["Dense_0"]["bias"])
+
+
+def _inv_norm(node, prefix, out):
+    out[prefix + ".weight"] = _t(node["scale"])
+    out[prefix + ".bias"] = _t(node["bias"])
+
+
+def _inv_resblock(node, prefix, out):
+    _inv_norm(node["in_norm"], prefix + ".in_layers.0", out)
+    _inv_conv(node["in_conv"], prefix + ".in_layers.2", out)
+    _inv_dense(node["emb_proj"], prefix + ".emb_layers.1", out)
+    _inv_norm(node["out_norm"], prefix + ".out_layers.0", out)
+    _inv_conv(node["out_conv"], prefix + ".out_layers.3", out)
+    if "skip" in node:
+        _inv_conv(node["skip"], prefix + ".skip_connection", out)
+
+
+def _inv_attn(node, prefix, out):
+    _inv_dense(node["to_q"], prefix + ".to_q", out, bias=False)
+    _inv_dense(node["to_k"], prefix + ".to_k", out, bias=False)
+    _inv_dense(node["to_v"], prefix + ".to_v", out, bias=False)
+    _inv_dense(node["to_out"], prefix + ".to_out.0", out)
+
+
+def _inv_spatial_transformer(node, prefix, cfg: UNetConfig, depth: int, out):
+    _inv_norm(node["norm"], prefix + ".norm", out)
+    _inv_conv(node["proj_in"], prefix + ".proj_in", out)
+    _inv_conv(node["proj_out"], prefix + ".proj_out", out)
+    for d in range(depth):
+        tb = f"{prefix}.transformer_blocks.{d}"
+        block = node[f"block_{d}"]
+        _inv_attn(block["attn1"], tb + ".attn1", out)
+        _inv_attn(block["attn2"], tb + ".attn2", out)
+        _inv_norm(block["norm2"], tb + ".norm2", out)
+        _inv_norm(block["norm3"], tb + ".norm3", out)
+        # GEGLU wraps its Dense: path ff/GEGLU_0/Dense_0/Dense_0
+        _inv_dense(block["ff"]["GEGLU_0"]["Dense_0"], tb + ".ff.net.0.proj", out)
+        _inv_dense(block["ff"]["Dense_0"], tb + ".ff.net.2", out)
+        if not cfg.attn1_cross:
+            _inv_norm(block["norm1"], tb + ".norm1", out)
+
+
+def export_reference_unet(
+    params: Mapping, cfg: UNetConfig, template: Mapping | None = None,
+    middle_block1: bool = False,
+) -> dict:
+    """Flax ``{'params': ...}`` -> reference torch state dict (numpy
+    values; wrap with ``torch.from_numpy`` to ``torch.save``).
+
+    ``template``: an original reference state dict whose entries fill
+    every key this exporter does not produce (dead params, buffers), so
+    ``load_state_dict(strict=True)`` succeeds on the reference module.
+    ``middle_block1``: emit the --attentionMaps key layout
+    (``unet.py:1336-1366``). The CTC aux head is NOT exported (its
+    BatchNorm was folded at import; retrain or keep the template's)."""
+    p = params["params"] if "params" in params else params
+    out: dict = {}
+
+    _inv_dense(p["time_mlp_1"], "time_embed.0", out)
+    _inv_dense(p["time_mlp_2"], "time_embed.2", out)
+    if "label_emb" in p:
+        out["label_emb.weight"] = _t(p["label_emb"]["embedding"])
+    out["word_emb.embedding.weight"] = _t(p["word_emb"]["embedding"]["embedding"])
+    for lin in ("linear_query", "linear_key", "linear_value"):
+        _inv_dense(p["word_emb"]["attention"][lin],
+                   f"word_emb.attention.{lin}", out)
+    if "style_proj" in p:
+        _inv_dense(p["style_proj"]["wrd_proj"], "wrd_proj", out)
+
+    depth = cfg.transformer_depth
+    _inv_conv(p["conv_in"], "input_blocks.0.0", out)
+
+    idx = 1
+    ds = 1
+    for level in range(len(cfg.channel_mult)):
+        for i in range(cfg.num_res_blocks):
+            _inv_resblock(p[f"in_{level}_{i}_res"], f"input_blocks.{idx}.0", out)
+            if ds in cfg.attention_resolutions:
+                _inv_spatial_transformer(
+                    p[f"in_{level}_{i}_attn"], f"input_blocks.{idx}.1",
+                    cfg, depth, out,
+                )
+            idx += 1
+        if level != len(cfg.channel_mult) - 1:
+            _inv_conv(p[f"down_{level}"]["Conv2D_0"],
+                      f"input_blocks.{idx}.0.op", out)
+            idx += 1
+            ds *= 2
+
+    if middle_block1:
+        _inv_resblock(p["mid_res1"], "middle_block1.0.0", out)
+        _inv_spatial_transformer(p["mid_attn"], "middle_block1.0.1", cfg, depth, out)
+        _inv_resblock(p["mid_res2"], "middle_block1.1.0", out)
+    else:
+        _inv_resblock(p["mid_res1"], "middle_block.0", out)
+        _inv_spatial_transformer(p["mid_attn"], "middle_block.1", cfg, depth, out)
+        _inv_resblock(p["mid_res2"], "middle_block.2", out)
+
+    idx = 0
+    for level in reversed(range(len(cfg.channel_mult))):
+        for i in range(cfg.num_res_blocks + 1):
+            _inv_resblock(p[f"out_{level}_{i}_res"], f"output_blocks.{idx}.0", out)
+            layer = 1
+            if ds in cfg.attention_resolutions:
+                _inv_spatial_transformer(
+                    p[f"out_{level}_{i}_attn"], f"output_blocks.{idx}.{layer}",
+                    cfg, depth, out,
+                )
+                layer += 1
+            if level and i == cfg.num_res_blocks:
+                _inv_conv(p[f"up_{level}"]["Conv2D_0"],
+                          f"output_blocks.{idx}.{layer}.conv", out)
+                ds //= 2
+            idx += 1
+
+    _inv_norm(p["out_norm"], "out.0", out)
+    _inv_conv(p["out_conv"], "out.2", out)
+
+    if template is not None:
+        merged = {k: np.asarray(v) for k, v in template.items()}
+        merged.update(out)
+        return merged
+    return out

@@ -246,7 +246,13 @@ class PHOSCNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> dict:
+    def __call__(
+        self, x: jax.Array, deterministic: bool = True,
+        return_features: bool = False,
+    ) -> dict:
+        """``return_features=True`` adds the pooled trunk features
+        (pre-head TPP vector) under ``'features'`` — the documented FID
+        featurizer protocol (``eval/features.py``)."""
         x = x.astype(jnp.dtype(self.dtype))
         trunk = TRUNKS[self.trunk](jnp.dtype(self.dtype), self.trunk_norm)
         feats = temporal_pyramid_pool(trunk(x), self.levels)
@@ -262,10 +268,13 @@ class PHOSCNet(nn.Module):
                          name=f"{name}_out")(h)
             return final_act(h.astype(jnp.float32))
 
-        return {
+        out = {
             "phos": head("phos", self.phos_size, nn.relu),
             "phoc": head("phoc", self.phoc_size, nn.sigmoid),
         }
+        if return_features:
+            out["features"] = feats.astype(jnp.float32)
+        return out
 
 
 def resnet18_pretrain_phoscnet(**kw) -> PHOSCNet:
