@@ -15,6 +15,14 @@ jax.config.update("jax_num_cpu_devices", 8)
 # are deselected by default (pyproject addopts). `pytest -m slow` runs
 # just them; `pytest -m ""` runs everything. All tiers must stay green.
 SLOW_TESTS = {
+    "test_regen_resumable",
+    "test_missing_configured_conditioning_fails_loudly",
+    "test_latent_scaling_roundtrip",
+    "test_trainer_stop_flag",
+    "test_attention_alias_is_pretrain_shape",
+    "test_research_unet_style_vector_parity",
+    "test_research_unet_ctc_aux_head_parity",
+    "test_phoscnet_resnet_trunk",
     "test_trainer_two_epochs_and_resume",
     "test_trainer_writes_metrics_jsonl",
     "test_trainer_with_phosc_batches",

@@ -54,7 +54,7 @@ def main(argv=None) -> None:
     import jax
 
     from ..configs import presets
-    from ..data.alphabets import OCR_ENG
+    from ..data.alphabets import OCR_ENG, OCR_NOR
     from ..data.gt import parse_gt
     from ..diffusion.sampler import regen_call_mask
     from ..generate.regenerate import Regenerator
@@ -87,9 +87,13 @@ def main(argv=None) -> None:
 
         mesh = make_mesh(MeshConfig(data=-1, model=1))
         logging.info("sampling sharded over %d chips", mesh.shape["data"])
+    # OCR alphabet follows the preset's language (the reference's
+    # Norwegian regen uses the extended-alphabet HTRNet,
+    # regenerateFromTrainNor.py:1064-1066)
+    ocr_alphabet = OCR_NOR if exp.data.phos_version == "nor" else OCR_ENG
     ocr_apply = None
     if not args.no_ocr_filter:
-        ocr = CTCRecognizer(num_classes=len(OCR_ENG))
+        ocr = CTCRecognizer(num_classes=len(ocr_alphabet))
         rng = jax.random.PRNGKey(0)
         ocr_vars = ocr.init(
             rng, np.zeros((1, exp.data.img_height, exp.data.img_width, 1), np.float32)
@@ -136,6 +140,7 @@ def main(argv=None) -> None:
     regen = Regenerator(
         sampler,
         ocr_apply=ocr_apply,
+        ocr_alphabet=ocr_alphabet,
         out_dir=args.dump_path,
         writer_lookup=lambda w: registry[w],
         sid_change=args.sidChange,

@@ -171,7 +171,9 @@ def main(argv=None) -> None:
         from ..data.synthetic import word_list
 
         samples = synthetic_corpus(
-            words=word_list(args.vocab_size),
+            # nor presets render Norwegian words so AEOA glyphs and the
+            # extended tokenizer alphabet are actually exercised
+            words=word_list(args.vocab_size, lang=exp.data.phos_version),
             samples_per_word=args.samples_per_word,
         )
         registry = WriterRegistry()

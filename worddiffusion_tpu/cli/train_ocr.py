@@ -55,7 +55,7 @@ def main(argv=None) -> None:
         from ..data.synthetic import word_list
 
         samples = synthetic_corpus(
-            words=word_list(args.vocab_size),
+            words=word_list(args.vocab_size, lang=args.lang),
             samples_per_word=args.samples_per_word,
         )
     else:

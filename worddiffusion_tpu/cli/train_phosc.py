@@ -119,6 +119,15 @@ def main(argv=None) -> None:
     from ..utils.stop_flag import StopFlag
 
     os.makedirs(args.save_dir, exist_ok=True)
+    if args.mode == "test":
+        # fail FAST: test mode evaluates the best checkpoint, never
+        # fresh-init params — refuse before building anything
+        best_path = os.path.join(args.save_dir, "best_params.pkl")
+        if not os.path.exists(best_path):
+            raise SystemExit(
+                f"--mode test needs trained weights: {best_path} not found "
+                f"(run --mode train with the same --save_dir first)"
+            )
     phos_size = phos_dim(args.language)
     phoc_size = phoc_dim(args.language)
 
@@ -246,15 +255,10 @@ def main(argv=None) -> None:
                     pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
     else:
         # test mode evaluates the BEST checkpoint from --save_dir, never
-        # fresh-init params (reference loads epoch.pt, main.py:372-390)
+        # fresh-init params (reference loads epoch.pt, main.py:372-390);
+        # existence was checked fail-fast at startup
         import pickle
 
-        best_path = os.path.join(args.save_dir, "best_params.pkl")
-        if not os.path.exists(best_path):
-            raise SystemExit(
-                f"--mode test needs trained weights: {best_path} not found "
-                f"(run --mode train with the same --save_dir first)"
-            )
         with open(best_path, "rb") as f:
             params = pickle.load(f)
         test_samples = _load_split(args.test_csv, args.image_dir, args.synthetic,

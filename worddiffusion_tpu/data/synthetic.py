@@ -164,20 +164,43 @@ WORDS_200 = [
 ]
 
 
-def word_list(n: int) -> list[str]:
-    """First ``n`` words of the fixed list; past 200, deterministic
-    compound words, guaranteed UNIQUE (duplicates would leak "unseen"
-    words across a zero-shot train/test cut and inflate ZSL accuracy)."""
-    if n <= len(WORDS_200):
-        return WORDS_200[:n]
-    out = list(WORDS_200)
+# Common Norwegian words, biased towards ÆØÅ coverage so synthetic
+# corpora exercise the extended alphabet (the reference's Norwegian
+# datasets/alphabet: trainNorModifyCondition.py:60-64).
+WORDS_NOR = [
+    "og", "i", "jeg", "det", "at", "en", "et", "den", "til", "er",
+    "som", "på", "de", "med", "han", "av", "ikke", "der", "så", "var",
+    "meg", "seg", "men", "ett", "har", "om", "vi", "min", "mitt", "ha",
+    "hadde", "hun", "nå", "over", "da", "ved", "fra", "du", "ut", "sin",
+    "dem", "oss", "opp", "man", "kan", "hans", "hvor", "eller", "hva",
+    "skal", "selv", "sjøl", "her", "alle", "vil", "bli", "ble", "blitt",
+    "kunne", "inn", "når", "være", "kom", "noen", "noe", "ville", "dere",
+    "deres", "kun", "ja", "etter", "ned", "skulle", "denne", "for",
+    "deg", "si", "sine", "sitt", "mot", "å", "meget", "hvorfor", "går",
+    "året", "ønske", "første", "væske", "løpe", "kjærlighet", "øy",
+    "blå", "grønn", "høst", "vår", "sjø", "født", "død", "brød", "søt",
+]
+
+
+_WORD_LISTS = {"eng": WORDS_200, "gw": WORDS_200, "nor": WORDS_NOR}
+
+
+def word_list(n: int, lang: str = "eng") -> list[str]:
+    """First ``n`` words of the fixed per-language list; past its end,
+    deterministic compound words, guaranteed UNIQUE (duplicates would
+    leak "unseen" words across a zero-shot train/test cut and inflate
+    ZSL accuracy)."""
+    base = _WORD_LISTS.get(lang, WORDS_200)
+    if n <= len(base):
+        return base[:n]
+    out = list(base)
     seen = set(out)
     i = 0
     while len(out) < n:
-        a = WORDS_200[(i // len(WORDS_200)) % len(WORDS_200)]
-        b = WORDS_200[i % len(WORDS_200)]
+        a = base[(i // len(base)) % len(base)]
+        b = base[i % len(base)]
         w = a + b
-        if i >= len(WORDS_200) ** 2:  # compound space exhausted
+        if i >= len(base) ** 2:  # compound space exhausted
             w = f"{w}{i}"
         i += 1
         if w not in seen:
