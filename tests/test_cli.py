@@ -201,3 +201,30 @@ def test_writer_style_deterministic_and_distinct():
     b = render_word("hand", 32, 96, seed=1, style=s2)
     assert a.shape == (32, 96, 3)
     assert not np.array_equal(a, b)  # different writers render differently
+
+
+def test_regen_ocr_alphabet_follows_preset():
+    """The regen OCR alphabet follows the preset's language
+    (regenerateFromTrainNor.py:1064-1066 equivalent)."""
+    from worddiffusion_tpu.configs import presets
+    from worddiffusion_tpu.data.alphabets import OCR_ENG, OCR_NOR
+
+    assert presets.get("norwegian").data.phos_version == "nor"
+    assert presets.get("iam").data.phos_version == "eng"
+    # the selection expression used by cli.regenerate
+    for name, expect in [("norwegian", OCR_NOR), ("iam", OCR_ENG)]:
+        exp = presets.get(name)
+        alphabet = OCR_NOR if exp.data.phos_version == "nor" else OCR_ENG
+        assert alphabet == expect
+    assert all(c in OCR_NOR for c in "æøå")
+
+
+def test_nor_word_list_tokenizes():
+    """Every synthetic Norwegian word encodes under the nor alphabet."""
+    from worddiffusion_tpu.data.synthetic import word_list
+    from worddiffusion_tpu.data.tokenizer import Tokenizer
+
+    tok = Tokenizer.from_name("nor", 25)
+    for w in word_list(60, "nor"):
+        ids = tok.encode(w)
+        assert tok.decode(ids) == w, w

@@ -84,3 +84,33 @@ def test_fused_groupnorm_bf16():
     out = fused_groupnorm(x, jnp.ones((64,)), jnp.zeros((64,)), num_groups=32, silu=True)
     assert out.dtype == jnp.bfloat16
     assert np.all(np.isfinite(np.asarray(out, np.float32)))
+
+
+def test_fused_gn_silu_conv3x3_matches_xla():
+    """Mega-kernel (interpret mode on CPU) vs the XLA GN->SiLU->conv
+    reference at a small shape."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from worddiffusion_tpu.ops.resblock_pallas import (
+        fused_gn_silu_conv3x3,
+        xla_reference,
+    )
+
+    key = jax.random.PRNGKey(0)
+    B, H, W, C = 2, 8, 32, 64
+    x = jax.random.normal(key, (B, H, W, C), jnp.float32)
+    gs = jnp.asarray(np.random.default_rng(1).normal(1, 0.1, C), jnp.float32)
+    gb = jnp.asarray(np.random.default_rng(2).normal(0, 0.1, C), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, C, C)) * 0.05
+    b = jnp.asarray(np.random.default_rng(3).normal(0, 0.1, C), jnp.float32)
+
+    ref = np.asarray(xla_reference(x, gs, gb, w, b), np.float32)
+    out = np.asarray(
+        fused_gn_silu_conv3x3(x, gs, gb, w, b, interpret=True), np.float32
+    )
+    assert out.shape == ref.shape
+    # bf16 matmul operands in the kernel: tolerance at bf16 resolution
+    assert np.abs(out - ref).max() < 0.05
+    assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.999
