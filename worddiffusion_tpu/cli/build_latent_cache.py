@@ -47,7 +47,7 @@ def main(argv=None) -> None:
         from ..data.synthetic import word_list
 
         samples = synthetic_corpus(
-            words=word_list(args.vocab_size),
+            words=word_list(args.vocab_size, lang=exp.data.phos_version),
             samples_per_word=args.samples_per_word,
         )
         registry = WriterRegistry()

@@ -251,8 +251,11 @@ def main(argv=None) -> None:
                 best_acc = acc
                 import pickle
 
-                with open(os.path.join(args.save_dir, "best_params.pkl"), "wb") as f:
+                # atomic: a reader (or a kill) must never see a half-written pickle
+                tmp = os.path.join(args.save_dir, "best_params.pkl.tmp")
+                with open(tmp, "wb") as f:
                     pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
+                os.replace(tmp, os.path.join(args.save_dir, "best_params.pkl"))
     else:
         # test mode evaluates the BEST checkpoint from --save_dir, never
         # fresh-init params (reference loads epoch.pt, main.py:372-390);

@@ -177,8 +177,11 @@ def main(argv=None) -> None:
             csv.writer(f).writerow([epoch, mean_loss, acc])
         if acc > best_acc:
             best_acc = acc
-            with open(os.path.join(args.save_dir, "best_params.pkl"), "wb") as f:
+            # atomic: a reader (or a kill) must never see a half-written pickle
+            tmp = os.path.join(args.save_dir, "best_params.pkl.tmp")
+            with open(tmp, "wb") as f:
                 pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
+            os.replace(tmp, os.path.join(args.save_dir, "best_params.pkl"))
 
     # writer->vector dict with the best weights; --style_dict format
     with open(os.path.join(args.save_dir, "best_params.pkl"), "rb") as f:
