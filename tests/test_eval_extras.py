@@ -29,6 +29,18 @@ def test_fid_grows_with_shift():
     assert abs(fid_score(a, b) - 16.0) < 1.5
 
 
+def test_fid_svd_path_matches_sqrtm():
+    """fid_score's [n2, n1]-SVD trace identity is EXACT vs the classic
+    sqrtm-of-covariance-product formula, in both regimes (n > d and
+    n < d, where the covariances are rank-deficient)."""
+    rng = np.random.default_rng(1)
+    for n1, n2, d in [(60, 40, 8), (12, 9, 50)]:
+        a = rng.normal(size=(n1, d)) @ rng.normal(size=(d, d)) * 0.3
+        b = rng.normal(size=(n2, d)) + 0.5
+        classic = frechet_distance(*gaussian_stats(a), *gaussian_stats(b))
+        assert abs(fid_score(a, b) - classic) < 1e-6 * max(1.0, classic)
+
+
 def test_compute_features():
     feats = compute_features(lambda x: x.mean(axis=(1, 2)),
                              [np.ones((2, 4, 4, 3)), np.zeros((3, 4, 4, 3))])

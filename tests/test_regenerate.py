@@ -254,3 +254,43 @@ def test_latent_mode_sampler_with_vae(tmp_path):
     imgs = sampler.sample(["text", "prop"], [0, 1], rng)
     assert imgs.shape == (2, 64, 256, 3)
     assert imgs.dtype == np.uint8
+
+
+def test_style_vec_sampling():
+    """WordSampler feeds per-sample style vectors through to the model
+    (--wrdChrWrStyl inference: without this a style-trained model is
+    unsampleable; reference loads the style dict at inference,
+    unet.py:1159-1161)."""
+    import dataclasses
+
+    from worddiffusion_tpu.models.unet import UNet
+
+    exp = pixel_exp()
+    exp = dataclasses.replace(
+        exp, unet=dataclasses.replace(
+            exp.unet, style_vec_dim=8, style_replace_context=True
+        )
+    )
+    model = UNet(exp.unet)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng,
+        np.zeros((1, 16, 32, 3), np.float32),
+        np.zeros((1,), np.int32),
+        np.zeros((1, 10), np.int32),
+        np.zeros((1,), np.int32),
+        style_vec=np.zeros((1, 8), np.float32),
+    )
+    # zero-init out conv makes a fresh model insensitive to ALL
+    # conditioning; perturb convs so sensitivity is observable
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.01 if p.ndim == 4 else p, params
+    )
+    sampler = WordSampler(exp, params)
+    sv = np.arange(16, dtype=np.float32).reshape(2, 8)
+    imgs = sampler.sample(["the", "of"], [0, 1], rng, style_vec=sv)
+    assert imgs.shape == (2, 16, 32, 3) and imgs.dtype == np.uint8
+    # the style token IS the context in replace mode: different vectors
+    # must change the output
+    imgs2 = sampler.sample(["the", "of"], [0, 1], rng, style_vec=sv + 100.0)
+    assert not np.array_equal(imgs, imgs2)

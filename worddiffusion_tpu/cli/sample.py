@@ -34,6 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vae_ckpt", default="",
                    help="orbax dir from cli.train_vae (in-repo codec)")
     p.add_argument("--crop_whitespace", type=int, default=0)
+    p.add_argument("--wrdChrWrStyl", type=int, default=0,
+                   help="model was trained with 4096-d writer-style "
+                        "replacement (needs --style_dict)")
+    p.add_argument("--style_dict", default="",
+                   help="writer->style-vector .npz from cli.train_style "
+                        "(the reference's cropStyleDict_Numpy.pkl, "
+                        "unet.py:1159-1161)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -57,6 +64,8 @@ def load_state(exp, ckpt_dir):
         rng, lat, np.zeros((2,), np.int32),
         np.zeros((2, exp.data.max_chars), np.int32), np.zeros((2,), np.int32),
         phosc_ids=np.zeros((2, exp.unet.phosc_dim), np.int32) if exp.unet.use_phosc else None,
+        style_vec=(np.zeros((2, exp.unet.style_vec_dim), np.float32)
+                   if exp.unet.style_vec_dim else None),
     )
     tx = make_optimizer(exp.train.lr)
     state = TrainState.create(params, tx)
@@ -167,6 +176,18 @@ def main(argv=None) -> None:
     from ..utils.images import crop_whitespace, denormalize_to_uint8, save_single_images
 
     exp = presets.get(args.preset)
+    style_lookup = None
+    if args.wrdChrWrStyl:
+        import dataclasses
+
+        exp = dataclasses.replace(
+            exp, unet=dataclasses.replace(exp.unet, style_vec_dim=4096)
+        )
+        if not args.style_dict:
+            raise SystemExit("--wrdChrWrStyl 1 needs --style_dict (from "
+                             "cli.train_style)")
+        with np.load(args.style_dict, allow_pickle=False) as z:
+            style_lookup = {k: z[k].astype(np.float32) for k in z.files}
     if args.torch_ckpt:
         from ..models.convert import convert_reference_unet, load_torch_checkpoint
 
@@ -191,7 +212,7 @@ def main(argv=None) -> None:
         registry = resolve_writer_registry(
             args.writers_dict, args.ckpt_dir, samples, gt_registry
         )
-        pairs = [(s.word, registry[s.writer]) for s in samples]
+        pairs = [(s.word, registry[s.writer], s.writer) for s in samples]
     else:
         words = [w for w in args.words.split(",") if w]
         rng_np = np.random.default_rng(args.seed)
@@ -200,15 +221,15 @@ def main(argv=None) -> None:
             for _ in range(args.n):
                 wid = (args.writer if args.writer >= 0
                        else int(rng_np.integers(0, exp.unet.num_writers)))
-                pairs.append((w, wid))
+                pairs.append((w, wid, str(wid)))
 
     os.makedirs(args.save_path, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
     B = 16
     for start in range(0, len(pairs), B):
         chunk = pairs[start : start + B]
-        words_b = [w for w, _ in chunk]
-        wids_b = [i for _, i in chunk]
+        words_b = [w for w, _, _ in chunk]
+        wids_b = [i for _, i, _ in chunk]
         phosc = None
         if exp.unet.use_phosc:
             from ..data.phosc import phosc_vector
@@ -216,8 +237,18 @@ def main(argv=None) -> None:
             phosc = np.stack([
                 phosc_vector(w, exp.data.phos_version, as_int=True) for w in words_b
             ]).astype(np.int32)
-        imgs = sampler.sample(words_b, wids_b, jax.random.fold_in(rng, start), phosc)
-        names = [f"{start+i:05d}_{wid}_{w}.png" for i, (w, wid) in enumerate(chunk)]
+        style = None
+        if style_lookup is not None:
+            missing = [n for _, _, n in chunk if n not in style_lookup]
+            if missing:
+                raise SystemExit(
+                    f"writers {sorted(set(missing))[:10]} not in --style_dict "
+                    f"(keys: {sorted(style_lookup)[:10]}...)"
+                )
+            style = np.stack([style_lookup[n] for _, _, n in chunk])
+        imgs = sampler.sample(words_b, wids_b, jax.random.fold_in(rng, start),
+                              phosc, style_vec=style)
+        names = [f"{start+i:05d}_{wid}_{w}.png" for i, (w, wid, _) in enumerate(chunk)]
         if args.crop_whitespace:
             for i in range(len(imgs)):
                 cropped = crop_whitespace(denormalize_to_uint8(imgs[i]))

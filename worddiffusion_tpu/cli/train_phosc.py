@@ -107,6 +107,17 @@ def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     args = build_parser().parse_args(argv)
 
+    os.makedirs(args.save_dir, exist_ok=True)
+    if args.mode == "test":
+        # fail FAST: test mode evaluates the best checkpoint, never
+        # fresh-init params — refuse before even the jax/flax imports
+        best_path = os.path.join(args.save_dir, "best_params.pkl")
+        if not os.path.exists(best_path):
+            raise SystemExit(
+                f"--mode test needs trained weights: {best_path} not found "
+                f"(run --mode train with the same --save_dir first)"
+            )
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -117,17 +128,6 @@ def main(argv=None) -> None:
     from ..eval.zsl import zsl_accuracy
     from ..models.phoscnet import FixedPatchPrompter, PHOSCNet, phosc_loss
     from ..utils.stop_flag import StopFlag
-
-    os.makedirs(args.save_dir, exist_ok=True)
-    if args.mode == "test":
-        # fail FAST: test mode evaluates the best checkpoint, never
-        # fresh-init params — refuse before building anything
-        best_path = os.path.join(args.save_dir, "best_params.pkl")
-        if not os.path.exists(best_path):
-            raise SystemExit(
-                f"--mode test needs trained weights: {best_path} not found "
-                f"(run --mode train with the same --save_dir first)"
-            )
     phos_size = phos_dim(args.language)
     phoc_size = phoc_dim(args.language)
 
@@ -141,9 +141,17 @@ def main(argv=None) -> None:
 
     rng = jax.random.PRNGKey(args.seed)
     init_img = np.zeros((2, 50, 250, 3), np.float32)
-    params = model.init(rng, init_img)
-    if prompter is not None:
-        prompt_params = prompter.init(rng, init_img)
+    if args.mode == "train":
+        params = model.init(rng, init_img)
+        if prompter is not None:
+            prompt_params = prompter.init(rng, init_img)
+    else:
+        # test mode: params come from the checkpoint — skip the
+        # on-device init (a full trunk forward compile) entirely
+        import pickle
+
+        with open(best_path, "rb") as f:
+            params = pickle.load(f)
 
     # reduce-on-plateau LR matching ReduceLROnPlateau(opt, 'max',
     # factor=0.25, patience=5, threshold=0.0001, cooldown=2) on the
@@ -167,7 +175,7 @@ def main(argv=None) -> None:
     else:
         # plain AdamW; extra-args wrapper swallows the unused `value=`
         tx = optax.with_extra_args_support(optax.adamw(args.lr, weight_decay=5e-5))
-    opt_state = tx.init(params)
+    opt_state = tx.init(params) if args.mode == "train" else None
 
     def current_lr(opt_state) -> float:
         """Effective lr = base lr x plateau scale (for the log, like the
@@ -257,13 +265,9 @@ def main(argv=None) -> None:
                     pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
                 os.replace(tmp, os.path.join(args.save_dir, "best_params.pkl"))
     else:
-        # test mode evaluates the BEST checkpoint from --save_dir, never
-        # fresh-init params (reference loads epoch.pt, main.py:372-390);
-        # existence was checked fail-fast at startup
-        import pickle
-
-        with open(best_path, "rb") as f:
-            params = pickle.load(f)
+        # test mode evaluates the BEST checkpoint from --save_dir (loaded
+        # above, before any on-device work), never fresh-init params
+        # (reference loads epoch.pt, main.py:372-390)
         test_samples = _load_split(args.test_csv, args.image_dir, args.synthetic,
                                    args.language, n_synth=args.n_synth, split="test")
         fn = lambda im: apply_eval(params, jnp.asarray(im))

@@ -57,7 +57,33 @@ def compute_features(
 def fid_score(
     real_feats: np.ndarray, fake_feats: np.ndarray
 ) -> float:
-    return frechet_distance(*gaussian_stats(real_feats), *gaussian_stats(fake_feats))
+    """Exact FID from raw feature matrices WITHOUT forming [D, D]
+    covariances. With sample covariances S1 = Y'Y/(n1-1),
+    S2 = X'X/(n2-1) (Y, X mean-centered), the nonzero eigenvalues of
+    S1·S2 equal the squared singular values of X·Y'/sqrt((n1-1)(n2-1))
+    (cyclic permutation), so
+
+        tr((S1·S2)^0.5) = sum svdvals(X·Y') / sqrt((n1-1)(n2-1))
+
+    — an [n2, n1] SVD instead of scipy.linalg.sqrtm on [D, D]. At the
+    4096-d PHOSC features this is seconds vs ~10 minutes on this host,
+    and numerically cleaner (sqrtm of the non-symmetric product drifts
+    complex; singular values are nonnegative by construction)."""
+    real_feats = np.asarray(real_feats, np.float64)
+    fake_feats = np.asarray(fake_feats, np.float64)
+    n1, n2 = len(real_feats), len(fake_feats)
+    if min(n1, n2) < 2:
+        raise ValueError("FID needs >=2 samples per side")
+    mu1 = real_feats.mean(axis=0)
+    mu2 = fake_feats.mean(axis=0)
+    y = real_feats - mu1
+    x = fake_feats - mu2
+    diff = mu1 - mu2
+    tr1 = float((y * y).sum()) / (n1 - 1)   # tr(S1)
+    tr2 = float((x * x).sum()) / (n2 - 1)   # tr(S2)
+    cross = x @ y.T / np.sqrt((n1 - 1) * (n2 - 1))
+    tr_covmean = float(np.linalg.svd(cross, compute_uv=False).sum())
+    return float(diff @ diff + tr1 + tr2 - 2.0 * tr_covmean)
 
 
 def phosc_featurizer(

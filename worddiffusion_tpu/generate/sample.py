@@ -69,7 +69,8 @@ class WordSampler:
         key = (batch, latent_shape)
         if key not in self._compiled:
 
-            def run(params, rng, ctx, wid, phosc, wid2=None, mix=None):
+            def run(params, rng, ctx, wid, phosc, wid2=None, mix=None,
+                    style=None):
                 x = jax.random.normal(
                     jax.random.fold_in(rng, 0), (batch,) + latent_shape, jnp.float32
                 )
@@ -77,7 +78,7 @@ class WordSampler:
                 def eps_fn(xx, tt):
                     return self.model.apply(
                         params, xx, tt, ctx, wid, phosc_ids=phosc,
-                        writer_id2=wid2, mix_rate=mix,
+                        writer_id2=wid2, mix_rate=mix, style_vec=style,
                     )
 
                 uncond_fn = None
@@ -132,7 +133,7 @@ class WordSampler:
                 data = NamedSharding(self.mesh, P("data"))
                 self._compiled[key] = jax.jit(
                     run,
-                    in_shardings=(None, rep, data, data, None, None, None),
+                    in_shardings=(None, rep, data, data, None, None, None, None),
                     out_shardings=data,
                 )
             else:
@@ -147,12 +148,14 @@ class WordSampler:
         phosc: Optional[np.ndarray] = None,
         writer_ids2: Optional[Sequence[int]] = None,
         mix_rate: Optional[float] = None,
+        style_vec: Optional[np.ndarray] = None,
     ) -> jax.Array:
         """Dispatch sampling and return the on-device result WITHOUT
         blocking (JAX async dispatch). The caller overlaps host work
         (OCR post-processing, PNG writes) with device compute and syncs
         with ``np.asarray`` when needed — used by the Regenerator's
-        double buffering."""
+        double buffering. ``style_vec`` [B, D]: per-sample writer-style
+        vectors for ``--wrdChrWrStyl`` models (``unet.py:1159-1161``)."""
         ctx = jnp.asarray(self.tokenizer.encode_batch(list(words)))
         wid = jnp.asarray(np.asarray(writer_ids, np.int32))
         if self.exp.data.latent:
@@ -171,7 +174,11 @@ class WordSampler:
             jnp.full((len(words),), mix_rate, jnp.float32)
             if mix_rate is not None else None
         )
-        return run(self.params, rng, ctx, wid, ph, wid2, mix)
+        sv = (
+            jnp.asarray(np.asarray(style_vec, np.float32))
+            if style_vec is not None else None
+        )
+        return run(self.params, rng, ctx, wid, ph, wid2, mix, sv)
 
     def sample(
         self,
@@ -181,12 +188,15 @@ class WordSampler:
         phosc: Optional[np.ndarray] = None,
         writer_ids2: Optional[Sequence[int]] = None,
         mix_rate: Optional[float] = None,
+        style_vec: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """-> uint8 images [B, H, W, 3] synced to host (+ OCR frame-id
         array when ``ocr_apply`` is fused in). ``writer_ids2`` +
         ``mix_rate`` interpolate between two writer styles (reference
         ``--interpolation``)."""
-        out = self.sample_async(words, writer_ids, rng, phosc, writer_ids2, mix_rate)
+        out = self.sample_async(
+            words, writer_ids, rng, phosc, writer_ids2, mix_rate, style_vec
+        )
         if isinstance(out, tuple):
             return tuple(np.asarray(o) for o in out)
         return np.asarray(out)
