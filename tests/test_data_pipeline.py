@@ -45,6 +45,32 @@ def test_dataset_record():
     assert isinstance(rec["word"], str)
 
 
+def test_dataset_writer_styled_renders():
+    """writer_styled=True gives the synthetic fallback a writer-
+    CONSISTENT style: the same (word, seed) renders differently for
+    different writers, and identically to a direct styled render —
+    without the flag there is no writer signal for --wrdChrWrStyl /
+    style-encoder training to learn."""
+    from worddiffusion_tpu.data.gt import Sample
+    from worddiffusion_tpu.data.synthetic import stable_seed, writer_style
+
+    samples = [Sample(image="same.png", writer="3", word="hand"),
+               Sample(image="same.png", writer="7", word="hand")]
+    reg = WriterRegistry()
+    for s in samples:
+        reg.add(s.writer)
+    tok = Tokenizer.from_name("eng_main", 42)
+    plain = WordImageDataset(samples, reg, tok, DataConfig())
+    styled = WordImageDataset(samples, reg, tok, DataConfig(), writer_styled=True)
+    # same image name + seed: identical without styles...
+    assert np.array_equal(plain[0]["image"], plain[1]["image"])
+    # ...distinct per writer with styles, and exactly the styled render
+    assert not np.array_equal(styled[0]["image"], styled[1]["image"])
+    direct = render_word("hand", 64, 256, seed=stable_seed("same.png"),
+                         style=writer_style("3"))
+    assert np.allclose(styled[0]["image"], direct.astype(np.float32) / 127.5 - 1.0)
+
+
 def test_batches_and_prefetch():
     ds, _ = make_dataset()
     got = list(epoch_batches(ds, 8, epoch=0))

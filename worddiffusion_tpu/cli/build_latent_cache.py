@@ -29,6 +29,9 @@ def main(argv=None) -> None:
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--vocab_size", type=int, default=10)
     p.add_argument("--samples_per_word", type=int, default=8)
+    p.add_argument("--writer_styled", type=int, default=0,
+                   help="1: synthetic renders use per-writer styles "
+                        "(required for a --wrdChrWrStyl training cache)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -56,7 +59,8 @@ def main(argv=None) -> None:
     else:
         samples, registry = parse_gt(args.gt_train)
     tok = Tokenizer.from_name(exp.data.alphabet, exp.data.max_chars)
-    ds = WordImageDataset(samples, registry, tok, exp.data)
+    ds = WordImageDataset(samples, registry, tok, exp.data,
+                          writer_styled=bool(args.writer_styled))
 
     vae, params = make_vae(exp, args.stable_dif_path, args.vae_ckpt)
     cache = build_latent_cache(

@@ -181,7 +181,12 @@ def main(argv=None) -> None:
         import dataclasses
 
         exp = dataclasses.replace(
-            exp, unet=dataclasses.replace(exp.unet, style_vec_dim=4096)
+            exp, unet=dataclasses.replace(
+                exp.unet, style_vec_dim=4096,
+                # match training: style REPLACES the char context
+                # (reference unet.py:1616-1618)
+                style_replace_context=True,
+            )
         )
         if not args.style_dict:
             raise SystemExit("--wrdChrWrStyl 1 needs --style_dict (from "

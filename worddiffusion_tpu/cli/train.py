@@ -102,6 +102,10 @@ def experiment_from_args(args) -> "Experiment":
             exp.unet,
             ocr_head=bool(args.ocrTraining),
             style_vec_dim=4096 if args.wrdChrWrStyl else 0,
+            # reference --wrdChrWrStyl 1: the projected style sequence
+            # REPLACES the char context (unet.py:1616-1618) — word
+            # identity is carried only by the writer/style conditioning
+            style_replace_context=bool(args.wrdChrWrStyl),
             use_char_images=bool(args.charImages),
             img_conditioned=bool(args.imgConditioned),
             in_channels=4 if args.latent else 3,
@@ -210,6 +214,9 @@ def main(argv=None) -> None:
         char_image_size=exp.unet.char_image_size,
         cond_latents=exp.unet.img_conditioned,
         seed=args.seed,
+        # synthetic corpora only carry a writer-style signal when asked
+        # for (real data has real writer styles already)
+        writer_styled=bool(args.wrdChrWrStyl and (args.synthetic or not args.gt_train)),
     )
 
     encode_fn = None

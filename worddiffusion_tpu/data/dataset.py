@@ -51,8 +51,15 @@ class WordImageDataset:
         char_image_size: tuple = (16, 16),
         cond_latents: bool = False,
         seed: int = 0,
+        writer_styled: bool = False,
     ):
         """Conditioning-mode sources:
+
+        ``writer_styled``: synthetic fallback renders use the writer's
+        deterministic style (``synthetic.writer_style``) so the corpus
+        carries a writer-consistent signal — required for style-encoder
+        / ``--wrdChrWrStyl`` training, where per-image jitter alone has
+        nothing to condition on.
 
         ``style_lookup``: raw writer id -> style vector (built by
         ``models.style.build_style_dict``, the in-repo
@@ -75,6 +82,7 @@ class WordImageDataset:
         self.char_images = char_images
         self.char_image_size = tuple(char_image_size)
         self.cond_latents = cond_latents
+        self.writer_styled = writer_styled
         self._rng = np.random.default_rng(seed)
         self._phosc_cache: dict[str, np.ndarray] = {}
         self._glyph_cache: dict[str, np.ndarray] = {}
@@ -89,9 +97,14 @@ class WordImageDataset:
 
             img = np.asarray(Image.open(path).convert("RGB"))
         else:
+            style = None
+            if self.writer_styled:
+                from .synthetic import writer_style
+
+                style = writer_style(sample.writer)
             img = render_word(
                 sample.word, self.cfg.img_height, self.cfg.img_width,
-                seed=stable_seed(sample.image),
+                seed=stable_seed(sample.image), style=style,
             )
         if img.shape[:2] != (self.cfg.img_height, self.cfg.img_width):
             img = resize_and_pad(img, self.cfg.img_height, self.cfg.img_width)
