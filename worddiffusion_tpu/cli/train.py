@@ -36,8 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--charImages", type=int, default=0)
     p.add_argument("--imgConditioned", type=int, default=0)
     p.add_argument("--style_dict", default="",
-                   help="npz of writer->style vectors (models.style."
-                        "build_style_dict); random-init encoder if empty")
+                   help="npz of writer->style vectors from cli.train_style "
+                        "(required with --wrdChrWrStyl 1)")
+    p.add_argument("--allow_random_style", type=int, default=0,
+                   help="1: permit a random-init style dict (plumbing "
+                        "tests only)")
     p.add_argument("--augMaps", type=int, default=0)
     p.add_argument("--vaeFromDict", type=int, default=0)
     p.add_argument("--latent_cache", default="", help="npz from latent-cache builder")
@@ -125,14 +128,21 @@ def _build_style_lookup(args, exp, samples, registry, tokenizer):
     if args.style_dict:
         with _np.load(args.style_dict, allow_pickle=False) as z:
             return {k: z[k] for k in z.files}
+    if not args.allow_random_style:
+        raise SystemExit(
+            "--wrdChrWrStyl 1 needs --style_dict (train one: python -m "
+            "worddiffusion_tpu.cli.train_style). Random-init style "
+            "vectors train a model conditioned on noise; pass "
+            "--allow_random_style 1 only for plumbing tests."
+        )
     import jax as _jax
 
     from ..data.dataset import WordImageDataset as _DS
     from ..models.style import StyleEncoder, build_style_dict
 
     logging.warning(
-        "no --style_dict: building writer style vectors with a randomly "
-        "initialised StyleEncoder (train one for meaningful styles)"
+        "--allow_random_style: building writer style vectors with a "
+        "randomly initialised StyleEncoder (NOT meaningful styles)"
     )
     probe = _DS(samples, registry, tokenizer, exp.data, seed=args.seed)
     by_writer: dict = {}
