@@ -5,6 +5,8 @@ and overrides JAX_PLATFORMS for every interpreter, so env vars alone
 don't stick — use jax.config.update before any backend initialisation.
 """
 
+import os
+
 import jax
 import pytest
 
@@ -77,3 +79,27 @@ def pytest_collection_modifyitems(config, items):
         base = item.name.split("[")[0]
         if base in SLOW_TESTS or item.name in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+
+    # Deterministic sharding so the ~15-min slow tier fits a 10-min CI
+    # window in halves:  WD_TEST_SHARD=1/2 pytest -m slow  runs shard 1,
+    # =2/2 runs the rest.  Round-robin over SORTED nodeids, slow and
+    # fast tiers ranked independently so each tier splits evenly no
+    # matter which `-m` filter is applied on top: shards are disjoint,
+    # cover everything, and stay within one test of balanced per tier.
+    shard = os.environ.get("WD_TEST_SHARD")
+    if shard:
+        idx, total = (int(p) for p in shard.split("/"))
+        if not (1 <= idx <= total):
+            raise pytest.UsageError(f"WD_TEST_SHARD={shard}: need 1<=i<=n")
+        is_slow = {
+            it.nodeid: it.get_closest_marker("slow") is not None for it in items
+        }
+        rank = {}
+        for tier in (True, False):
+            tier_ids = sorted(nid for nid, s in is_slow.items() if s is tier)
+            rank.update({nid: i for i, nid in enumerate(tier_ids)})
+        keep, drop = [], []
+        for item in items:
+            (keep if rank[item.nodeid] % total == idx - 1 else drop).append(item)
+        items[:] = keep
+        config.hook.pytest_deselected(items=drop)
