@@ -15,12 +15,12 @@ python -m worddiffusion_tpu.cli.train_ocr --synthetic 1 --lang nor \
 echo "=== 2. Latent cache for the nor corpus (round-2 VAE) ==="
 python -m worddiffusion_tpu.cli.build_latent_cache --synthetic 1 \
     --preset norwegian --vocab_size 10 --samples_per_word 96 \
-    --vae_ckpt runs/vae_syn/ckpt --out runs/latents_nor.npz
+    --vae_ckpt runs/vae_syn_v2/ckpt --out runs/latents_nor.npz
 
 echo "=== 3. Norwegian-preset latent DDPM ==="
 python -m worddiffusion_tpu.cli.train --preset norwegian --synthetic 1 \
     --vocab_size 10 --samples_per_word 96 --latent 1 \
-    --latent_cache runs/latents_nor.npz --vae_ckpt runs/vae_syn/ckpt \
+    --latent_cache runs/latents_nor.npz --vae_ckpt runs/vae_syn_v2/ckpt \
     --epochs 800 --batch_size 120 --ckpt_every_epochs 200 \
     --save_path runs/demo_nor
 
@@ -37,6 +37,6 @@ PYEOF
 echo "=== 4. OCR-filtered regeneration (nor alphabet) ==="
 python -m worddiffusion_tpu.cli.regenerate --preset norwegian \
     --ckpt_dir runs/demo_nor/ckpt --gt_file runs/nor_gt.csv \
-    --vae_ckpt runs/vae_syn/ckpt --ocr_ckpt runs/ocr_nor/ckpt \
+    --vae_ckpt runs/vae_syn_v2/ckpt --ocr_ckpt runs/ocr_nor/ckpt \
     --dump_path runs/regen_nor --batch_size 120 --fullSampling 1
 echo "=== chain done ==="

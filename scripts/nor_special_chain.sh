@@ -11,12 +11,12 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 echo "=== 1. Latent cache, full nor vocab ==="
 python -m worddiffusion_tpu.cli.build_latent_cache --synthetic 1 \
     --preset norwegian --vocab_size 90 --samples_per_word 24 \
-    --vae_ckpt runs/vae_syn/ckpt --out runs/latents_nor90.npz
+    --vae_ckpt runs/vae_syn_v2/ckpt --out runs/latents_nor90.npz
 
 echo "=== 2. Norwegian-preset latent DDPM (90 words) ==="
 python -m worddiffusion_tpu.cli.train --preset norwegian --synthetic 1 \
     --vocab_size 90 --samples_per_word 24 --latent 1 \
-    --latent_cache runs/latents_nor90.npz --vae_ckpt runs/vae_syn/ckpt \
+    --latent_cache runs/latents_nor90.npz --vae_ckpt runs/vae_syn_v2/ckpt \
     --epochs 400 --batch_size 120 --ckpt_every_epochs 100 \
     --save_path runs/demo_nor90
 
@@ -35,6 +35,6 @@ PYEOF
 echo "=== 3. OCR-filtered regeneration of the AEOA words ==="
 python -m worddiffusion_tpu.cli.regenerate --preset norwegian \
     --ckpt_dir runs/demo_nor90/ckpt --gt_file runs/nor_special_gt.csv \
-    --vae_ckpt runs/vae_syn/ckpt --ocr_ckpt runs/ocr_nor/ckpt \
+    --vae_ckpt runs/vae_syn_v2/ckpt --ocr_ckpt runs/ocr_nor/ckpt \
     --dump_path runs/regen_nor_special --batch_size 120 --fullSampling 1
 echo "=== chain done ==="

@@ -35,6 +35,21 @@ def test_render_word_shape_and_ink():
     assert np.array_equal(img, render_word("handwriting"))
 
 
+def test_render_word_extended_alphabet_glyphs_differ():
+    """å/ø/æ must render as DISTINCT glyphs. PIL's embedded default
+    font draws every non-ASCII char as the same tofu box, which would
+    silently turn the Norwegian chain into tofu recognition — rendered
+    single-glyph images of different special chars must not be
+    identical (same seed, no jitter isolates the glyph itself)."""
+    glyphs = [render_word(c, jitter=False, seed=0) for c in "æøå"]
+    for i in range(len(glyphs)):
+        for j in range(i + 1, len(glyphs)):
+            assert not np.array_equal(glyphs[i], glyphs[j]), (i, j)
+    # and each actually has ink
+    for g in glyphs:
+        assert (g < 100).sum() > 20
+
+
 def test_dataset_record():
     ds, _ = make_dataset(use_phosc=True)
     rec = ds[0]

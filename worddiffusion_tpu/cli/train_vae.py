@@ -34,6 +34,10 @@ def main(argv=None) -> None:
     p.add_argument("--kl_weight", type=float, default=1e-6)
     p.add_argument("--save_dir", default="./runs/vae")
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--langs", default="eng",
+                   help="comma-separated synthetic word-list languages "
+                        "(eng,nor,gw); each contributes --vocab_size words "
+                        "so one codec covers every preset's alphabet")
     p.add_argument("--vocab_size", type=int, default=100)
     p.add_argument("--samples_per_word", type=int, default=8)
     p.add_argument("--log_every", type=int, default=200)
@@ -54,9 +58,12 @@ def main(argv=None) -> None:
 
     exp = presets.get(args.preset)
     if args.synthetic or not args.gt_train:
+        words: list[str] = []
+        for lang in args.langs.split(","):
+            words.extend(w for w in word_list(args.vocab_size, lang.strip())
+                         if w not in words)
         samples = synthetic_corpus(
-            words=word_list(args.vocab_size),
-            samples_per_word=args.samples_per_word,
+            words=words, samples_per_word=args.samples_per_word,
         )
     else:
         samples, _ = parse_gt(args.gt_train)

@@ -18,6 +18,34 @@ from PIL import Image, ImageDraw, ImageFont
 from .gt import Sample
 
 
+_FONT_CANDIDATES = (
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+    "/usr/share/fonts/dejavu/DejaVuSans.ttf",
+    "/usr/share/fonts/TTF/DejaVuSans.ttf",
+)
+_FONT = None
+
+
+def _render_font():
+    """Deterministic render font. PIL's embedded default font draws
+    tofu boxes for non-ASCII glyphs (æøå in the Norwegian alphabet,
+    trainNorModifyCondition.py:60-64), which silently turns the
+    extended-alphabet chain into a tofu-recognition exercise — prefer
+    DejaVuSans (full Latin coverage) and only fall back to the
+    embedded font on hosts without it."""
+    global _FONT
+    if _FONT is None:
+        for path in _FONT_CANDIDATES:
+            try:
+                _FONT = ImageFont.truetype(path, 18)
+                break
+            except OSError:
+                continue
+        else:
+            _FONT = ImageFont.load_default()
+    return _FONT
+
+
 def stable_seed(name: str) -> int:
     """Deterministic per-name render seed. ``hash(str)`` is randomised
     per process (PYTHONHASHSEED), which would make the latent cache,
@@ -54,9 +82,9 @@ def render_word(
     :func:`writer_style`) pins the writer-consistent parameters; per-image
     jitter then varies around them."""
     rng = np.random.default_rng(stable_seed(f"{word}|{seed}"))
-    font = ImageFont.load_default()
-    # render big, then scale: default bitmap font is ~11px
-    scratch = Image.new("L", (max(8 * len(word) + 16, 32), 24), 255)
+    font = _render_font()
+    # render big, then scale down to the target height
+    scratch = Image.new("L", (max(14 * len(word) + 16, 48), 36), 255)
     draw = ImageDraw.Draw(scratch)
     draw.text((4, 4), word, fill=0, font=font)
     arr = np.asarray(scratch)
