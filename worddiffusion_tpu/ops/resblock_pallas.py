@@ -19,7 +19,10 @@ in VMEM:
 VERDICT r2 next #7b asked for this to be MEASURED at B=128 rather than
 extrapolated; ``python -m worddiffusion_tpu.ops.resblock_pallas``
 benches it against the XLA baseline on the current backend and prints
-both. Wire-up into the model is gated on it actually winning.
+both. Measured on the real chip (2026-08-18): 0.665 ms fused vs
+0.521 ms XLA per op — the per-image grid underfills the MXU and the
+fusion loses 28%, so it stays UNWIRED (see BENCHMARKS.md round-3
+negative results).
 """
 
 from __future__ import annotations
@@ -158,15 +161,17 @@ def _bench() -> None:  # pragma: no cover - requires TPU wall clock
     c = np.asarray(fused(x, gs, gb, w, b), np.float32)
     print("max|diff|:", np.abs(a - c).max())
 
-    # chain 50 applications inside one jit so per-call tunnel latency
-    # amortises (axon methodology, BENCHMARKS.md)
+    # chain 200 applications inside one jit so per-call tunnel latency
+    # amortises, and return only a SCALAR: shipping the [128,8,32,320]
+    # bf16 output (21 MB) through the axon tunnel costs tens of ms and
+    # would dominate the per-op time being measured
     def chain(fn):
         @jax.jit
         def run(x):
             def body(h, _):
                 return fn(h, gs, gb, w, b), None
-            h, _ = jax.lax.scan(body, x, None, length=50)
-            return h
+            h, _ = jax.lax.scan(body, x, None, length=200)
+            return jnp.mean(h.astype(jnp.float32))
         return run
 
     for name, fn in [("xla", ref), ("pallas", fused)]:
@@ -177,7 +182,7 @@ def _bench() -> None:  # pragma: no cover - requires TPU wall clock
             t0 = time.perf_counter()
             np.asarray(r(x))
             best = min(best, time.perf_counter() - t0)
-        print(f"{name}: {best / 50 * 1e3:.3f} ms per GN+SiLU+conv (B={B})")
+        print(f"{name}: {best / 200 * 1e3:.3f} ms per GN+SiLU+conv (B={B})")
 
 
 if __name__ == "__main__":  # pragma: no cover
