@@ -17,6 +17,10 @@ jax.config.update("jax_num_cpu_devices", 8)
 # are deselected by default (pyproject addopts). `pytest -m slow` runs
 # just them; `pytest -m ""` runs everything. All tiers must stay green.
 SLOW_TESTS = {
+    "test_regen_ocr_filter_rejects",
+    "test_forward_shape_wordstylist_variant",
+    "test_diffusers_conversion_loads_and_runs",
+    "test_style_vec_sampling",
     "test_regen_resumable",
     "test_missing_configured_conditioning_fails_loudly",
     "test_latent_scaling_roundtrip",
