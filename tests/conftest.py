@@ -75,6 +75,10 @@ SLOW_TESTS = {
     "test_vae_roundtrip_latent_scaling_parity",   # covered by encode/decode parity
     # exact parametrized ids (base-name matching would drop every variant)
     "test_vae_encode_decode_parity[32-mult0-2]",  # the [16-mult1-1] variant stays
+    # round-3 second trim (fast tier measured 204s idle, target <180s):
+    "test_regen_stop_flag",           # StopFlag unit tests + trainer stop-flag cover
+    "test_old_attention_naming_supported",  # legacy ckpt naming; conversion stays fast
+    "test_writer_interpolation",      # writer-conditioning sensitivity test stays fast
 }
 
 

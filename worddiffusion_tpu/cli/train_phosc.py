@@ -34,25 +34,38 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_synth", type=int, default=200,
                    help="synthetic mode: training-set size")
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--renders_per_word", type=int, default=8,
+                   help="synthetic mode: renders per vocabulary word")
+    p.add_argument("--augment", type=int, default=0,
+                   help="train-time augmentation probability in percent "
+                        "(reference dataset_manipulation/augmentation.py ops)")
+    p.add_argument("--writer_styles", type=int, default=0,
+                   help="synthetic mode: render each sample with its "
+                        "writer's consistent style (slant/weight/size)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
 
-def _load_split(path, image_dir, synthetic, language, n_synth=200, split="train"):
+def _load_split(path, image_dir, synthetic, language, n_synth=200, split="train",
+                renders_per_word=8):
     """Synthetic mode builds a genuine zero-shot split: the first 80% of
     the vocabulary trains, the last 20% (words never seen in training)
     validates/tests — matching the seen/unseen protocol of the
-    reference (``split_to_seen_and_unseen.py``)."""
+    reference (``split_to_seen_and_unseen.py``). The vocabulary size is
+    tied to ``n_synth`` (at 8 renders/word) so the same ``--n_synth``
+    keeps the same seen/unseen word cut when ``--renders_per_word``
+    changes — only training-set *density* moves."""
     from ..data.gt import parse_gt
-    from ..data.synthetic import render_word, stable_seed, synthetic_corpus, word_list
+    from ..data.synthetic import synthetic_corpus, word_list
 
     if synthetic or not path:
         vocab = word_list(max(10, n_synth // 8))
         cut = max(1, int(len(vocab) * 0.8))
         words = vocab[:cut] if split == "train" else vocab[cut:]
-        samples = synthetic_corpus(words=words, samples_per_word=8)
+        per_word = renders_per_word if split == "train" else 8
+        samples = synthetic_corpus(words=words, samples_per_word=per_word)
         if split == "train":
-            samples = samples[:n_synth]
+            samples = samples[: n_synth * max(1, renders_per_word // 8)]
     else:
         samples, _ = parse_gt(path)
     return samples
@@ -65,18 +78,27 @@ _RENDER_CACHE: dict = {}
 _RENDER_CACHE_CAP = 20_000  # ~2.8 GB of uint8 50x250x3 worst case
 
 
-def _image_batches(samples, image_dir, batch_size, rng=None):
+def _image_batches(samples, image_dir, batch_size, rng=None,
+                   augment_pct=0, writer_styles=False):
     """yield (images [B,50,250,3] **uint8**, words).
 
     uint8 all the way to the device: the axon host->device link runs
     ~50 MB/s, so shipping fp32 would quadruple the transfer; the [-1,1]
     normalize happens on device inside the jitted programs
-    (``_DEV_NORM``)."""
+    (``_DEV_NORM``).
+
+    ``augment_pct`` applies one random reference-inventory op
+    (``data/augment.random_augment``) to that fraction of TRAIN images
+    per epoch (fresh each epoch — augmented pixels are never cached);
+    ``writer_styles`` renders each synthetic sample with its writer's
+    consistent style so the train distribution has real visual
+    diversity instead of one font at one weight."""
     import os
 
     from PIL import Image
 
-    from ..data.synthetic import render_word, stable_seed
+    from ..data.augment import random_augment
+    from ..data.synthetic import render_word, stable_seed, writer_style
     from ..utils.images import resize_and_pad
 
     order = np.arange(len(samples))
@@ -86,18 +108,22 @@ def _image_batches(samples, image_dir, batch_size, rng=None):
         imgs, words = [], []
         for i in order[start : start + batch_size]:
             s = samples[int(i)]
-            arr = _RENDER_CACHE.get((s.image, s.word))
+            key = (s.image, s.word, s.writer if writer_styles else "")
+            arr = _RENDER_CACHE.get(key)
             if arr is None:
                 p = os.path.join(image_dir, s.image) if image_dir else ""
                 if p and os.path.exists(p):
                     arr = np.asarray(Image.open(p).convert("RGB"))
                 else:
+                    style = writer_style(s.writer) if writer_styles else None
                     arr = render_word(s.word, 50, 250,
-                                      seed=stable_seed(s.image))
+                                      seed=stable_seed(s.image), style=style)
                 arr = resize_and_pad(arr, 50, 250)
                 if len(_RENDER_CACHE) >= _RENDER_CACHE_CAP:
                     _RENDER_CACHE.pop(next(iter(_RENDER_CACHE)))
-                _RENDER_CACHE[(s.image, s.word)] = arr
+                _RENDER_CACHE[key] = arr
+            if augment_pct and rng is not None and rng.random() * 100 < augment_pct:
+                arr = np.ascontiguousarray(random_augment(arr, rng))
             imgs.append(arr)
             words.append(s.word)
         yield np.stack(imgs), words
@@ -135,7 +161,8 @@ def main(argv=None) -> None:
     prompter = FixedPatchPrompter() if args.prompt else None
 
     train_samples = _load_split(args.train_csv, args.image_dir, args.synthetic,
-                                args.language, n_synth=args.n_synth)
+                                args.language, n_synth=args.n_synth,
+                                renders_per_word=args.renders_per_word)
     valid_samples = _load_split(args.valid_csv, args.image_dir, args.synthetic,
                                 args.language, n_synth=args.n_synth, split="valid")
 
@@ -228,7 +255,8 @@ def main(argv=None) -> None:
                 break
             losses = []
             for imgs, batch_words in _image_batches(
-                train_samples, args.image_dir, args.batch_size, np_rng
+                train_samples, args.image_dir, args.batch_size, np_rng,
+                augment_pct=args.augment, writer_styles=bool(args.writer_styles),
             ):
                 tp = jnp.asarray(np.stack([phos_map[w] for w in batch_words]), jnp.float32)
                 tc = jnp.asarray(np.stack([phoc_map[w] for w in batch_words]), jnp.float32)
