@@ -83,3 +83,36 @@ def test_metrics_logger_and_timer(tmp_path):
     assert timer.tick() is None
     dt = timer.tick()
     assert dt is not None and timer.step_time_ema is not None
+
+
+def test_gzsl_calibrated_stacking_recovers_unseen():
+    """Uncalibrated GZSL collapses unseen accuracy when a seen word
+    scores a hair higher; calibrated stacking recovers it without
+    destroying seen accuracy (the sweep picks the sweet spot)."""
+    from worddiffusion_tpu.data.alphabets import phos_dim
+    from worddiffusion_tpu.data.phosc import lexicon_matrix
+    from worddiffusion_tpu.eval.zsl import gzsl_accuracy, gzsl_calibrated_stacking
+
+    seen, unseen = ["the", "of"], ["and"]
+    words, lex = lexicon_matrix(seen + unseen, "eng")
+    lex = lex / np.linalg.norm(lex, axis=1, keepdims=True)
+    v = {w: lex[words.index(w)] for w in words}
+    # unseen image: right vector present, but a seen word wins by a hair
+    preds_seen = np.stack([v["the"], v["of"]]).astype(np.float32)
+    preds_unseen = (v["and"] + 1.01 * v["the"])[None].astype(np.float32)
+
+    D = phos_dim("eng")
+    apply_fn = lambda im: {"phos": im[:, :D], "phoc": im[:, D:]}
+    mk = lambda: ([(preds_seen, ["the", "of"])], [(preds_unseen, ["and"])])
+
+    sb, ub = mk()
+    gz = gzsl_accuracy(apply_fn, sb, ub, seen, unseen, "eng")
+    assert gz["seen"] == 1.0 and gz["unseen"] == 0.0
+
+    sb, ub = mk()
+    cal = gzsl_calibrated_stacking(apply_fn, sb, ub, seen, unseen, "eng")
+    assert cal["best"]["unseen"] == 1.0
+    assert cal["best"]["harmonic_mean"] > 0.66
+    # gamma=0 point of the curve reproduces the uncalibrated numbers
+    g0 = cal["curve"][0]
+    assert g0["gamma"] == 0.0 and g0["seen"] == 1.0 and g0["unseen"] == 0.0

@@ -318,11 +318,29 @@ def main(argv=None) -> None:
             [s.word for s in test_samples],
             args.language,
         )
-        logging.info("ZSL test acc %.4f by-len %s GZSL %s", acc, by_len, gz)
+        # extra diagnostic on top of the reference protocol: calibrated
+        # stacking shows the unseen signal the uncalibrated argmax hides
+        from ..eval.zsl import gzsl_calibrated_stacking
+
+        cal = gzsl_calibrated_stacking(
+            fn,
+            _image_batches(train_samples, args.image_dir, args.batch_size),
+            _image_batches(test_samples, args.image_dir, args.batch_size),
+            [s.word for s in train_samples],
+            [s.word for s in test_samples],
+            args.language,
+        )
+        logging.info("ZSL test acc %.4f by-len %s GZSL %s calibrated-best %s",
+                     acc, by_len, gz, cal["best"])
         with open(os.path.join(args.save_dir, "testresults.txt"), "a") as f:
             f.write(f"zsl={acc}\nby_len={by_len}\n")
             f.write(f"gzsl_seen={gz['seen']}\ngzsl_unseen={gz['unseen']}\n"
                     f"gzsl_harmonic={gz['harmonic_mean']}\n")
+            b = cal["best"]
+            f.write(f"gzsl_calibrated_gamma={b['gamma']}\n"
+                    f"gzsl_calibrated_seen={b['seen']}\n"
+                    f"gzsl_calibrated_unseen={b['unseen']}\n"
+                    f"gzsl_calibrated_harmonic={b['harmonic_mean']}\n")
 
 
 if __name__ == "__main__":

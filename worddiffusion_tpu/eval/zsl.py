@@ -94,6 +94,65 @@ def gzsl_accuracy(
     return {"seen": acc_seen, "unseen": acc_unseen, "harmonic_mean": h}
 
 
+def gzsl_calibrated_stacking(
+    apply_fn: Callable[[np.ndarray], dict],
+    seen_batches: Iterable[tuple[np.ndarray, Sequence[str]]],
+    unseen_batches: Iterable[tuple[np.ndarray, Sequence[str]]],
+    seen_words: Sequence[str],
+    unseen_words: Sequence[str],
+    version: str = "eng",
+    gammas: Optional[Sequence[float]] = None,
+) -> dict:
+    """GZSL with calibrated stacking (Chao et al., ECCV 2016): subtract
+    a bias ``gamma`` from every SEEN word's cosine score before the
+    union-lexicon argmax, sweeping gamma and reporting the full
+    seen/unseen trade-off curve plus the best-harmonic-mean point.
+
+    This is an EXTRA diagnostic on top of the reference's uncalibrated
+    protocol (``engine.py:172-268``, reported by :func:`gzsl_accuracy`):
+    uncalibrated GZSL collapses to near-zero unseen accuracy whenever
+    the recognizer is confident on its training vocabulary (the classic
+    seen-bias), which hides how much unseen signal the embedding
+    actually carries. gamma is swept on the evaluation split itself, so
+    quote the curve (or pick gamma on a held-out split), not just the
+    peak.
+    """
+    union = list(dict.fromkeys(list(seen_words) + list(unseen_words)))
+    words, lex = lexicon_matrix(union, version)
+    lex_j = jnp.asarray(lex)
+    in_seen = set(seen_words)
+    seen_mask = np.array([w in in_seen for w in words], np.float32)
+
+    def collect(batches):
+        sims, targets = [], []
+        for images, tg in batches:
+            out = apply_fn(images)
+            pred = jnp.concatenate([out["phos"], out["phoc"]], axis=-1)
+            sims.append(np.asarray(_normalize(pred) @ _normalize(lex_j).T))
+            targets.extend(tg)
+        return (np.concatenate(sims) if sims else np.zeros((0, len(words)))), targets
+
+    s_sim, s_tg = collect(seen_batches)
+    u_sim, u_tg = collect(unseen_batches)
+    if gammas is None:
+        gammas = np.linspace(0.0, 0.5, 26)
+
+    def acc(sim, tg, g):
+        if not tg:
+            return 0.0
+        idx = (sim - g * seen_mask).argmax(axis=1)
+        return float(np.mean([words[i] == t for i, t in zip(idx, tg)]))
+
+    curve = []
+    for g in gammas:
+        a_s, a_u = acc(s_sim, s_tg, g), acc(u_sim, u_tg, g)
+        h = 2 * a_s * a_u / (a_s + a_u) if (a_s + a_u) > 0 else 0.0
+        curve.append({"gamma": round(float(g), 4), "seen": a_s, "unseen": a_u,
+                      "harmonic_mean": h})
+    best = max(curve, key=lambda r: r["harmonic_mean"])
+    return {"best": best, "curve": curve}
+
+
 def zsl_gzsl_with_length(
     apply_fn: Callable[[np.ndarray], dict],
     batches: Iterable[tuple[np.ndarray, Sequence[str]]],
