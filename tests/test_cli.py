@@ -228,3 +228,34 @@ def test_nor_word_list_tokenizes():
     for w in word_list(60, "nor"):
         ids = tok.encode(w)
         assert tok.decode(ids) == w, w
+
+
+def test_phosc_batches_augment_and_writer_styles():
+    """--renders_per_word scales training density without moving the
+    seen/unseen word cut; --augment / --writer_styles change pixels but
+    never targets, and eval renders stay un-augmented."""
+    import numpy as np
+
+    from worddiffusion_tpu.cli.train_phosc import _image_batches, _load_split
+
+    tr8 = _load_split("", "", 1, "eng", n_synth=80, renders_per_word=8)
+    tr24 = _load_split("", "", 1, "eng", n_synth=80, renders_per_word=24)
+    va = _load_split("", "", 1, "eng", n_synth=80, split="valid")
+    assert {s.word for s in tr8} == {s.word for s in tr24}  # same cut
+    assert len(tr24) == 3 * len(tr8)
+    assert not ({s.word for s in tr24} & {s.word for s in va})
+
+    rng = np.random.default_rng(0)
+    (plain, w1), = list(_image_batches(tr8[:4], "", 4))
+    (styled, w2), = list(_image_batches(tr8[:4], "", 4, writer_styles=True))
+    assert plain.shape == styled.shape == (4, 50, 250, 3)
+    assert w1 == w2 and plain.dtype == np.uint8
+    assert (plain != styled).any()  # writer styles move pixels
+
+    # augment_pct=100 re-rolls pixels every epoch; eval (no rng) does not
+    (aug1, _), = list(_image_batches(tr8[:4], "", 4, rng, augment_pct=100))
+    (aug2, _), = list(_image_batches(tr8[:4], "", 4, rng, augment_pct=100))
+    assert (aug1 != aug2).any()
+    (ev1, _), = list(_image_batches(tr8[:4], "", 4))
+    (ev2, _), = list(_image_batches(tr8[:4], "", 4))
+    assert (ev1 == ev2).all()
