@@ -17,7 +17,9 @@ jax.config.update("jax_num_cpu_devices", 8)
 # are deselected by default (pyproject addopts). `pytest -m slow` runs
 # just them; `pytest -m ""` runs everything. All tiers must stay green.
 SLOW_TESTS = {
-    "test_regen_ocr_filter_rejects",
+    # (test_regen_ocr_filter_rejects stays FAST: the fast tier must keep
+    # at least one accept/reject OCR-filter test — its sibling
+    # test_regen_fused_ocr_accepts_matching_word is slow-tier)
     "test_forward_shape_wordstylist_variant",
     "test_diffusers_conversion_loads_and_runs",
     "test_style_vec_sampling",

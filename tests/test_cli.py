@@ -230,6 +230,85 @@ def test_nor_word_list_tokenizes():
         assert tok.decode(ids) == w, w
 
 
+def test_phosc_eval_batches_keep_partial_remainder():
+    """Eval call sites pass drop_remainder=False so corpora smaller than
+    the batch size still evaluate (the default synthetic valid split is
+    40 images at batch 64 — dropping the partial batch evaluated on
+    ZERO samples)."""
+    from worddiffusion_tpu.cli.train_phosc import _image_batches, _load_split
+
+    tr = _load_split("", "", 1, "eng", n_synth=80)
+    small = tr[:10]
+    assert list(_image_batches(small, "", 64)) == []  # train semantics
+    batches = list(_image_batches(small, "", 64, drop_remainder=False))
+    assert len(batches) == 1 and batches[0][0].shape[0] == 10
+    # and a corpus that splits unevenly yields the tail too
+    batches = list(_image_batches(tr[:10], "", 4, drop_remainder=False))
+    assert [b[0].shape[0] for b in batches] == [4, 4, 2]
+
+
+def test_phosc_resize_shared_path():
+    """phosc_resize is the ONE resize used by both the FID featurizer
+    and the evaluate-CLI ZSL path; 50x250 inputs pass through
+    untouched, anything else lands at 50x250 still in [-1,1]."""
+    import numpy as np
+
+    from worddiffusion_tpu.eval.fid import phosc_resize
+
+    already = np.zeros((2, 50, 250, 3), np.float32)
+    out = phosc_resize(already)
+    assert out.shape == (2, 50, 250, 3) and (out == already).all()
+    img = np.random.default_rng(0).uniform(-1, 1, (2, 64, 256, 3)).astype(np.float32)
+    out = phosc_resize(img)
+    assert out.shape == (2, 50, 250, 3)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+
+
+def test_sample_words_mode_maps_dense_to_raw_writer_names(tmp_path):
+    """--writer takes the dense embedding index, but the style dict is
+    keyed by RAW training writer ids: the words path must invert the
+    training writers_dict (cli/sample.py words branch)."""
+    import json
+
+    from worddiffusion_tpu.cli.sample import load_writers_dict
+
+    d = tmp_path / "writers_dict_train.json"
+    d.write_text(json.dumps({"000": 0, "writer-7": 1, "151": 2}))
+    registry = load_writers_dict(str(d), "")
+    raw_by_dense = {v: k for k, v in registry.mapping.items()}
+    assert raw_by_dense == {0: "000", 1: "writer-7", 2: "151"}
+    # fallback when no dict exists (parent is checked too, so isolate)
+    empty = tmp_path / "isolated" / "ckpt"
+    empty.mkdir(parents=True)
+    assert load_writers_dict("", str(empty)) is None
+
+
+def test_evaluate_cli_fails_loudly_on_missing_weights(tmp_path):
+    """--phosc_params / --inception_weights pointing at nothing must
+    exit, not silently skip the metric."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from worddiffusion_tpu.cli.evaluate import main
+
+    for sub in ("real", "fake"):
+        (tmp_path / sub).mkdir()
+        for i in range(2):
+            arr = np.full((64, 256, 3), 255, np.uint8)
+            Image.fromarray(arr).save(tmp_path / sub / f"{i}_0_word.png")
+    with pytest.raises(SystemExit, match="not found"):
+        main(["--real_dir", str(tmp_path / "real"),
+              "--fake_dir", str(tmp_path / "fake"),
+              "--phosc_params", str(tmp_path / "nope.pkl"),
+              "--out", str(tmp_path / "o.json")])
+    with pytest.raises(SystemExit, match="not found"):
+        main(["--real_dir", str(tmp_path / "real"),
+              "--fake_dir", str(tmp_path / "fake"),
+              "--inception_weights", str(tmp_path / "nope.pkl"),
+              "--out", str(tmp_path / "o.json")])
+
+
 def test_phosc_batches_augment_and_writer_styles():
     """--renders_per_word scales training density without moving the
     seen/unseen word cut; --augment / --writer_styles change pixels but

@@ -62,8 +62,8 @@ def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
 
-    from ..data.alphabets import OCR_ENG
-    from ..eval.fid import compute_features, fid_score
+    from ..data.alphabets import OCR_ENG, OCR_NOR
+    from ..eval.fid import compute_features, fid_score, load_phosc_net, phosc_resize
     from ..models.style import StyleEncoder
 
     real, real_words = _load_dir(args.real_dir, args.height, args.width, args.limit)
@@ -78,22 +78,34 @@ def main(argv=None) -> None:
             chunk = arr[s : s + args.batch_size]
             yield jnp.asarray(chunk) if as_jax else chunk
 
+    # one pickle load + one compiled program serves BOTH fid_phosc and
+    # the ZSL accuracy below
+    phosc_fn = None
+    if args.phosc_params:
+        if not os.path.exists(args.phosc_params):
+            raise SystemExit(f"--phosc_params {args.phosc_params} not found")
+        phosc_fn, _ = load_phosc_net(
+            args.phosc_params, args.language, args.phosc_trunk
+        )
+
     # FID featurizer preference: Inception (classic FID, weights on
     # disk) > trained PHOSCNet trunk (default protocol here) > random
     # StyleEncoder (relative-only, warned). See eval/fid.py.
     if len(real) > 1 and len(fake) > 1:
-        if args.inception_weights and os.path.exists(args.inception_weights):
+        if args.inception_weights:
+            if not os.path.exists(args.inception_weights):
+                raise SystemExit(
+                    f"--inception_weights {args.inception_weights} not found"
+                )
             from ..eval.inception import load_inception_featurizer
 
             feat_fn = load_inception_featurizer(args.inception_weights)
             rf = compute_features(feat_fn, batches(real))
             ff = compute_features(feat_fn, batches(fake))
             results["fid_inception"] = fid_score(rf, ff)
-        if args.phosc_params:
-            from ..eval.fid import phosc_featurizer
-
-            feat_fn = phosc_featurizer(
-                args.phosc_params, args.language, args.phosc_trunk
+        if phosc_fn is not None:
+            feat_fn = lambda im: np.asarray(
+                phosc_fn(jnp.asarray(phosc_resize(im)))["features"]
             )
             rf = compute_features(feat_fn, batches(real, as_jax=False))
             ff = compute_features(feat_fn, batches(fake, as_jax=False))
@@ -118,7 +130,11 @@ def main(argv=None) -> None:
         from ..models.ocr import CTCRecognizer
         from ..ops.ctc import collapse_and_decode, greedy_frame_ids
 
-        ocr = CTCRecognizer(num_classes=len(OCR_ENG))
+        # alphabet follows --language (the nor OCR checkpoint has æøå
+        # classes; restoring it into an eng-shaped net fails, and eng
+        # decode could never emit the extended glyphs)
+        alphabet = OCR_NOR if args.language == "nor" else OCR_ENG
+        ocr = CTCRecognizer(num_classes=len(alphabet))
         ocr_vars = ocr.init(rng, np.zeros((1, args.height, args.width, 1), np.float32))
         mgr = ocp.CheckpointManager(os.path.abspath(args.ocr_ckpt))
         ocr_vars = mgr.restore(mgr.latest_step(), args=ocp.args.StandardRestore(ocr_vars))
@@ -127,40 +143,20 @@ def main(argv=None) -> None:
         for s in range(0, len(fake), args.batch_size):
             chunk = fake[s : s + args.batch_size]
             logits = ocr_fn(jnp.asarray(chunk[..., :1]))
-            decoded = collapse_and_decode(np.asarray(greedy_frame_ids(logits)), OCR_ENG)
+            decoded = collapse_and_decode(np.asarray(greedy_frame_ids(logits)), alphabet)
             hits += sum(d == w for d, w in zip(decoded, fake_words[s : s + len(chunk)]))
         results["ocr_exact_match"] = hits / max(len(fake), 1)
 
-    if args.phosc_params:
-        import pickle
-
+    if phosc_fn is not None:
         from ..eval.zsl import zsl_accuracy
-        from ..models.phoscnet import PHOSCNet
-        from ..data.alphabets import phoc_dim, phos_dim
-
-        with open(args.phosc_params, "rb") as f:
-            pp = pickle.load(f)
-        net = PHOSCNet(phos_size=phos_dim(args.language),
-                       phoc_size=phoc_dim(args.language),
-                       trunk=args.phosc_trunk)
-        net_fn = jax.jit(lambda im: net.apply(pp, im))
 
         def phosc_batches():
-            from ..utils.images import resize_and_pad
-
             for s in range(0, len(fake), args.batch_size):
                 chunk = fake[s : s + args.batch_size]
-                # recognizer input is 50x250
-                res = np.stack([
-                    np.asarray(
-                        resize_and_pad(((c + 1) / 2 * 255).astype(np.uint8), 50, 250)
-                    ).astype(np.float32) / 127.5 - 1.0
-                    for c in chunk
-                ])
-                yield res, fake_words[s : s + len(chunk)]
+                yield phosc_resize(chunk), fake_words[s : s + len(chunk)]
 
         acc, by_len = zsl_accuracy(
-            lambda im: net_fn(jnp.asarray(im)), phosc_batches(),
+            lambda im: phosc_fn(jnp.asarray(im)), phosc_batches(),
             list(dict.fromkeys(fake_words)), args.language,
         )
         results["phosc_zsl_accuracy"] = acc

@@ -221,12 +221,20 @@ def main(argv=None) -> None:
     else:
         words = [w for w in args.words.split(",") if w]
         rng_np = np.random.default_rng(args.seed)
+        # --writer takes the DENSE embedding index; the style dict is
+        # keyed by RAW training writer ids, so invert the training
+        # writers_dict when it exists (str(dense) only matches raw ids
+        # for synthetic corpora, where names happen to be "0","1",...)
+        registry = load_writers_dict(args.writers_dict, args.ckpt_dir)
+        raw_by_dense = (
+            {v: k for k, v in registry.mapping.items()} if registry else {}
+        )
         pairs = []
         for w in words:
             for _ in range(args.n):
                 wid = (args.writer if args.writer >= 0
                        else int(rng_np.integers(0, exp.unet.num_writers)))
-                pairs.append((w, wid, str(wid)))
+                pairs.append((w, wid, raw_by_dense.get(wid, str(wid))))
 
     os.makedirs(args.save_path, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)

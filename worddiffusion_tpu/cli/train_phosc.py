@@ -59,13 +59,16 @@ def _load_split(path, image_dir, synthetic, language, n_synth=200, split="train"
     from ..data.synthetic import synthetic_corpus, word_list
 
     if synthetic or not path:
-        vocab = word_list(max(10, n_synth // 8))
+        vocab = word_list(max(10, n_synth // 8), language)
         cut = max(1, int(len(vocab) * 0.8))
         words = vocab[:cut] if split == "train" else vocab[cut:]
         per_word = renders_per_word if split == "train" else 8
         samples = synthetic_corpus(words=words, samples_per_word=per_word)
         if split == "train":
-            samples = samples[: n_synth * max(1, renders_per_word // 8)]
+            # cap scales WITH density so the last seen words never lose
+            # all their renders when renders_per_word isn't a multiple
+            # of 8 (the corpus is word-major)
+            samples = samples[: n_synth * renders_per_word // 8]
     else:
         samples, _ = parse_gt(path)
     return samples
@@ -79,8 +82,13 @@ _RENDER_CACHE_CAP = 20_000  # ~2.8 GB of uint8 50x250x3 worst case
 
 
 def _image_batches(samples, image_dir, batch_size, rng=None,
-                   augment_pct=0, writer_styles=False):
+                   augment_pct=0, writer_styles=False, drop_remainder=True):
     """yield (images [B,50,250,3] **uint8**, words).
+
+    ``drop_remainder=False`` (every EVAL call site) also yields the
+    final partial batch — dropping it silently evaluates on zero
+    samples whenever a corpus is smaller than ``batch_size`` (the
+    default synthetic valid split is 40 images at batch 64).
 
     uint8 all the way to the device: the axon host->device link runs
     ~50 MB/s, so shipping fp32 would quadruple the transfer; the [-1,1]
@@ -104,7 +112,8 @@ def _image_batches(samples, image_dir, batch_size, rng=None,
     order = np.arange(len(samples))
     if rng is not None:
         rng.shuffle(order)
-    for start in range(0, len(samples) - batch_size + 1, batch_size):
+    stop = len(samples) - batch_size + 1 if drop_remainder else len(samples)
+    for start in range(0, max(stop, 0), batch_size):
         imgs, words = [], []
         for i in order[start : start + batch_size]:
             s = samples[int(i)]
@@ -270,7 +279,8 @@ def main(argv=None) -> None:
             cur = params
             acc, _ = zsl_accuracy(
                 lambda im: apply_eval(cur, jnp.asarray(im)),
-                _image_batches(valid_samples, args.image_dir, args.batch_size),
+                _image_batches(valid_samples, args.image_dir, args.batch_size,
+                           drop_remainder=False),
                 [s.word for s in valid_samples],
                 args.language,
             )
@@ -301,7 +311,8 @@ def main(argv=None) -> None:
         fn = lambda im: apply_eval(params, jnp.asarray(im))
         acc, by_len = zsl_accuracy(
             fn,
-            _image_batches(test_samples, args.image_dir, args.batch_size),
+            _image_batches(test_samples, args.image_dir, args.batch_size,
+                           drop_remainder=False),
             [s.word for s in test_samples],
             args.language,
         )
@@ -312,8 +323,10 @@ def main(argv=None) -> None:
 
         gz = gzsl_accuracy(
             fn,
-            _image_batches(train_samples, args.image_dir, args.batch_size),
-            _image_batches(test_samples, args.image_dir, args.batch_size),
+            _image_batches(train_samples, args.image_dir, args.batch_size,
+                           drop_remainder=False),
+            _image_batches(test_samples, args.image_dir, args.batch_size,
+                           drop_remainder=False),
             [s.word for s in train_samples],
             [s.word for s in test_samples],
             args.language,
@@ -324,8 +337,10 @@ def main(argv=None) -> None:
 
         cal = gzsl_calibrated_stacking(
             fn,
-            _image_batches(train_samples, args.image_dir, args.batch_size),
-            _image_batches(test_samples, args.image_dir, args.batch_size),
+            _image_batches(train_samples, args.image_dir, args.batch_size,
+                           drop_remainder=False),
+            _image_batches(test_samples, args.image_dir, args.batch_size,
+                           drop_remainder=False),
             [s.word for s in train_samples],
             [s.word for s in test_samples],
             args.language,

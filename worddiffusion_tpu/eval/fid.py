@@ -86,39 +86,53 @@ def fid_score(
     return float(diff @ diff + tr1 + tr2 - 2.0 * tr_covmean)
 
 
-def phosc_featurizer(
-    params_path: str, language: str = "eng", trunk: str = "vgg",
-):
-    """Trained-PHOSCNet TPP-feature extractor — the default FID
-    protocol. ``apply_fn(images [B,H,W,3] in [-1,1]) -> [B, D]``;
-    inputs are resized to the recognizer's 50x250 on host."""
+def phosc_resize(images: np.ndarray) -> np.ndarray:
+    """[-1,1] float images at any HxW -> the recognizer's 50x250,
+    still [-1,1] (shared by the FID featurizer and the ZSL path in
+    ``cli/evaluate`` so the two can never drift)."""
+    from ..utils.images import resize_and_pad
+
+    images = np.asarray(images)
+    if images.shape[1:3] != (50, 250):
+        images = np.stack([
+            resize_and_pad(
+                ((c + 1.0) / 2.0 * 255.0).astype(np.uint8), 50, 250
+            ).astype(np.float32) / 127.5 - 1.0
+            for c in images
+        ])
+    return images
+
+
+def load_phosc_net(params_path: str, language: str = "eng", trunk: str = "vgg"):
+    """-> (jitted ``im [B,50,250,3] -> {'phos','phoc','features'}``,
+    params). One pickle load + one compiled program shared by every
+    PHOSC-based metric."""
     import pickle
 
     import jax
-    import jax.numpy as jnp
 
     from ..data.alphabets import phoc_dim, phos_dim
     from ..models.phoscnet import PHOSCNet
-    from ..utils.images import resize_and_pad
 
     with open(params_path, "rb") as f:
         params = pickle.load(f)
     net = PHOSCNet(
         phos_size=phos_dim(language), phoc_size=phoc_dim(language), trunk=trunk,
     )
-    fn = jax.jit(
-        lambda im: net.apply(params, im, return_features=True)["features"]
-    )
+    return jax.jit(lambda im: net.apply(params, im, return_features=True)), params
+
+
+def phosc_featurizer(
+    params_path: str, language: str = "eng", trunk: str = "vgg",
+):
+    """Trained-PHOSCNet TPP-feature extractor — the default FID
+    protocol. ``apply_fn(images [B,H,W,3] in [-1,1]) -> [B, D]``;
+    inputs are resized to the recognizer's 50x250 on host."""
+    import jax.numpy as jnp
+
+    fn, _ = load_phosc_net(params_path, language, trunk)
 
     def apply_fn(images: np.ndarray) -> np.ndarray:
-        images = np.asarray(images)
-        if images.shape[1:3] != (50, 250):
-            images = np.stack([
-                resize_and_pad(
-                    ((c + 1.0) / 2.0 * 255.0).astype(np.uint8), 50, 250
-                ).astype(np.float32) / 127.5 - 1.0
-                for c in images
-            ])
-        return np.asarray(fn(jnp.asarray(images)))
+        return np.asarray(fn(jnp.asarray(phosc_resize(images)))["features"])
 
     return apply_fn
