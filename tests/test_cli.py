@@ -15,6 +15,7 @@ import pytest
     "worddiffusion_tpu.cli.train_charcounter",
     "worddiffusion_tpu.cli.build_latent_cache",
     "worddiffusion_tpu.cli.evaluate",
+    "worddiffusion_tpu.cli.export_torch",
 ])
 def test_cli_modules_import(mod):
     importlib.import_module(mod)
