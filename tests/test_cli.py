@@ -205,19 +205,53 @@ def test_writer_style_deterministic_and_distinct():
 
 
 def test_regen_ocr_alphabet_follows_preset():
-    """The regen OCR alphabet follows the preset's language
-    (regenerateFromTrainNor.py:1064-1066 equivalent)."""
+    """The regen OCR alphabet follows the preset's tokenizer alphabet
+    (regenerateFromTrainNor.py:1064-1066 equivalent; CVL gets the
+    extended digit/punct gate the reference lacks,
+    regenerateFromtrainWord22CVL.py:106)."""
     from worddiffusion_tpu.configs import presets
-    from worddiffusion_tpu.data.alphabets import OCR_ENG, OCR_NOR
+    from worddiffusion_tpu.data.alphabets import OCR_CVL, OCR_ENG, OCR_NOR
 
-    assert presets.get("norwegian").data.phos_version == "nor"
-    assert presets.get("iam").data.phos_version == "eng"
     # the selection expression used by cli.regenerate
-    for name, expect in [("norwegian", OCR_NOR), ("iam", OCR_ENG)]:
+    for name, expect in [
+        ("norwegian", OCR_NOR), ("iam", OCR_ENG), ("gw", OCR_ENG),
+        ("cvl", OCR_CVL),
+    ]:
         exp = presets.get(name)
-        alphabet = OCR_NOR if exp.data.phos_version == "nor" else OCR_ENG
+        alphabet = {"nor": OCR_NOR, "cvl": OCR_CVL}.get(
+            exp.data.alphabet, OCR_ENG
+        )
         assert alphabet == expect
     assert all(c in OCR_NOR for c in "æøå")
+    assert all(c in OCR_CVL for c in "0123456789!?&'")
+
+
+def test_cvl_word_list_tokenizes_and_decodes():
+    """Every synthetic CVL word encodes under the cvl tokenizer AND
+    round-trips through the extended OCR gate's host decode (blank '_'
+    is not a CVL symbol, so blank-strip cannot corrupt words)."""
+    import numpy as np
+
+    from worddiffusion_tpu.data.alphabets import OCR_CVL, OCR_CVL_BLANK
+    from worddiffusion_tpu.data.synthetic import word_list
+    from worddiffusion_tpu.data.tokenizer import Tokenizer
+    from worddiffusion_tpu.ops.ctc import collapse_and_decode
+
+    tok = Tokenizer.from_name("cvl", 42)
+    assert OCR_CVL[OCR_CVL_BLANK] == "_"
+    for w in word_list(60, "cvl"):
+        ids = tok.encode(w)
+        assert tok.decode(ids) == w, w
+        # perfect-frame OCR ids (blank between repeated chars) decode back
+        frames = []
+        prev = None
+        for c in w:
+            i = OCR_CVL.index(c)
+            if i == prev:
+                frames.append(OCR_CVL_BLANK)
+            frames.append(i)
+            prev = i
+        assert collapse_and_decode(np.array([frames]), OCR_CVL) == [w], w
 
 
 def test_nor_word_list_tokenizes():

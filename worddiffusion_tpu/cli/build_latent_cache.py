@@ -47,10 +47,10 @@ def main(argv=None) -> None:
     exp = presets.get(args.preset)
     exp = exp.replace(data=dataclasses.replace(exp.data, image_dir=args.iam_path))
     if args.synthetic or not args.gt_train:
-        from ..data.synthetic import word_list
+        from ..data.synthetic import corpus_lang, word_list
 
         samples = synthetic_corpus(
-            words=word_list(args.vocab_size, lang=exp.data.phos_version),
+            words=word_list(args.vocab_size, lang=corpus_lang(exp.data)),
             samples_per_word=args.samples_per_word,
         )
         registry = WriterRegistry()

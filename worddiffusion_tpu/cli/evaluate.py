@@ -62,7 +62,7 @@ def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
 
-    from ..data.alphabets import OCR_ENG, OCR_NOR
+    from ..data.alphabets import OCR_CVL, OCR_ENG, OCR_NOR
     from ..eval.fid import compute_features, fid_score, load_phosc_net, phosc_resize
     from ..models.style import StyleEncoder
 
@@ -130,10 +130,10 @@ def main(argv=None) -> None:
         from ..models.ocr import CTCRecognizer
         from ..ops.ctc import collapse_and_decode, greedy_frame_ids
 
-        # alphabet follows --language (the nor OCR checkpoint has æøå
-        # classes; restoring it into an eng-shaped net fails, and eng
-        # decode could never emit the extended glyphs)
-        alphabet = OCR_NOR if args.language == "nor" else OCR_ENG
+        # alphabet follows --language (the nor/cvl OCR checkpoints have
+        # extended classes; restoring one into an eng-shaped net fails,
+        # and eng decode could never emit the extended glyphs)
+        alphabet = {"nor": OCR_NOR, "cvl": OCR_CVL}.get(args.language, OCR_ENG)
         ocr = CTCRecognizer(num_classes=len(alphabet))
         ocr_vars = ocr.init(rng, np.zeros((1, args.height, args.width, 1), np.float32))
         mgr = ocp.CheckpointManager(os.path.abspath(args.ocr_ckpt))

@@ -54,7 +54,7 @@ def main(argv=None) -> None:
     import jax
 
     from ..configs import presets
-    from ..data.alphabets import OCR_ENG, OCR_NOR
+    from ..data.alphabets import OCR_CVL, OCR_ENG, OCR_NOR
     from ..data.gt import parse_gt
     from ..diffusion.sampler import regen_call_mask
     from ..generate.regenerate import Regenerator
@@ -87,10 +87,15 @@ def main(argv=None) -> None:
 
         mesh = make_mesh(MeshConfig(data=-1, model=1))
         logging.info("sampling sharded over %d chips", mesh.shape["data"])
-    # OCR alphabet follows the preset's language (the reference's
-    # Norwegian regen uses the extended-alphabet HTRNet,
-    # regenerateFromTrainNor.py:1064-1066)
-    ocr_alphabet = OCR_NOR if exp.data.phos_version == "nor" else OCR_ENG
+    # OCR alphabet follows the preset's tokenizer alphabet (the
+    # reference's Norwegian regen uses the extended-alphabet HTRNet,
+    # regenerateFromTrainNor.py:1064-1066; for CVL we go beyond the
+    # reference, whose gate keeps plain-English classes and so can
+    # never accept digit/punctuation words —
+    # regenerateFromtrainWord22CVL.py:106)
+    ocr_alphabet = {"nor": OCR_NOR, "cvl": OCR_CVL}.get(
+        exp.data.alphabet, OCR_ENG
+    )
     ocr_apply = None
     if not args.no_ocr_filter:
         ocr = CTCRecognizer(num_classes=len(ocr_alphabet))

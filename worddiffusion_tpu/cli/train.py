@@ -182,12 +182,13 @@ def main(argv=None) -> None:
         logging.info("multi-host: process %d/%d", pid, pcount)
 
     if args.synthetic or not args.gt_train:
-        from ..data.synthetic import word_list
+        from ..data.synthetic import corpus_lang, word_list
 
         samples = synthetic_corpus(
-            # nor presets render Norwegian words so AEOA glyphs and the
-            # extended tokenizer alphabet are actually exercised
-            words=word_list(args.vocab_size, lang=exp.data.phos_version),
+            # nor/cvl presets render their own word lists so AEOA glyphs
+            # / digits+punctuation actually exercise the extended
+            # tokenizer alphabets
+            words=word_list(args.vocab_size, lang=corpus_lang(exp.data)),
             samples_per_word=args.samples_per_word,
         )
         registry = WriterRegistry()

@@ -26,7 +26,7 @@ def main(argv=None) -> None:
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--save_dir", default="./runs/ocr")
-    p.add_argument("--lang", default="eng", choices=["eng", "nor"])
+    p.add_argument("--lang", default="eng", choices=["eng", "nor", "cvl"])
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--vocab_size", type=int, default=100,
                    help="synthetic mode: number of distinct words")
@@ -41,15 +41,20 @@ def main(argv=None) -> None:
     import optax
     import orbax.checkpoint as ocp
 
-    from ..data.alphabets import OCR_ENG, OCR_ENG_BLANK, OCR_NOR, OCR_NOR_BLANK
+    from ..data.alphabets import (
+        OCR_CVL, OCR_CVL_BLANK, OCR_ENG, OCR_ENG_BLANK, OCR_NOR, OCR_NOR_BLANK,
+    )
     from ..data.gt import parse_gt
     from ..data.synthetic import render_word, stable_seed, synthetic_corpus
     from ..ops.ctc import collapse_and_decode, ctc_loss, encode_ocr_labels, greedy_frame_ids
     from ..models.ocr import CTCRecognizer
     from ..utils.images import normalize_to_unit, resize_and_pad
 
-    alphabet = OCR_ENG if args.lang == "eng" else OCR_NOR
-    blank = OCR_ENG_BLANK if args.lang == "eng" else OCR_NOR_BLANK
+    alphabet, blank = {
+        "eng": (OCR_ENG, OCR_ENG_BLANK),
+        "nor": (OCR_NOR, OCR_NOR_BLANK),
+        "cvl": (OCR_CVL, OCR_CVL_BLANK),
+    }[args.lang]
 
     if args.synthetic or not args.gt_train:
         from ..data.synthetic import word_list

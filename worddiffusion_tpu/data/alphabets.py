@@ -46,6 +46,15 @@ OCR_ENG = " _ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
 OCR_ENG_BLANK = 1
 OCR_NOR = "_" + "ABCDEFGHIJKLMNOPQRSTUVWXYZÆØÅabcdefghijklmnopqrstuvwxyzæøå"
 OCR_NOR_BLANK = 0
+# Extended CVL gate covering the full CVL tokenizer alphabet (digits /
+# punctuation). Deliberately BEYOND the reference: its CVL regeneration
+# keeps the plain-English OCR classes
+# (``regenerateFromtrainWord22CVL.py:106`` ``ocr_classes``), so words
+# containing digits or punctuation can never pass its exact-match
+# filter; this gate can read and accept them. Blank is '_' at index 0
+# ('_' is not a CVL alphabet symbol, so decode's blank-strip is safe).
+OCR_CVL = "_" + CVL
+OCR_CVL_BLANK = 0
 
 # ---------------------------------------------------------------------------
 # PHOS shape-count tables.

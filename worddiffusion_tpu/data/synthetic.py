@@ -210,7 +210,43 @@ WORDS_NOR = [
 ]
 
 
-_WORD_LISTS = {"eng": WORDS_200, "gw": WORDS_200, "nor": WORDS_NOR}
+# CVL-style words biased towards the extended alphabet (digits and
+# punctuation, ``regenerateFromtrainWord22CVL.py:73`` character set) so
+# synthetic corpora exercise the classes plain-English lists never hit.
+# Every character is in ``alphabets.CVL`` and none is '_' or leading/
+# trailing whitespace (the OCR decode strips both).
+WORDS_CVL = [
+    "1850", "No.3", "don't", "it's", "well-known", "3rd", "Mr.", "etc.",
+    "2+2=4", "why?", "yes!", "(sic)", "12:30", "co-op", "e.g.", "i.e.",
+    "1,000", "half;", "A&B", "what?", "stop!", "one-way", "O'Brien",
+    "4/5", "page#7", "x=9", "can't", "won't", "isn't", "we're",
+    "you're", "they're", "I'm", "he's", "she's", "name:", "first,",
+    "last.", "end;", "begin", "letter", "number", "write", "read",
+    "hand", "word", "line", "page", "book", "text", "note", "date",
+    "year", "1900", "1923", "42nd", "7th", "8vo", "pp.12", "vol.2",
+    "fig.5", "sec.9", "ch.10", "art.3", "pt.1", "ed.2", "rev.",
+    "op.cit.", "ibid.", "cf.", "viz.", "ca.1800", "b.1812", "d.1870",
+    "anno", "circa", "about", "nearly", "almost", "quite", "rather",
+    "very", "just", "only", "even", "still", "again", "often",
+    "never", "always", "sometimes", "today", "morrow", "yester",
+    "night", "day", "week", "month",
+]
+
+_WORD_LISTS = {
+    "eng": WORDS_200, "gw": WORDS_200, "nor": WORDS_NOR, "cvl": WORDS_CVL,
+}
+
+
+def corpus_lang(data_cfg) -> str:
+    """Which word list a preset's synthetic corpora should draw from.
+
+    Keyed on the tokenizer alphabet first (the CVL preset keeps the
+    'eng' PHOS tables — digits/punct have no PHOS rows — but its corpus
+    must exercise the extended alphabet), falling back to the PHOS
+    version (eng/gw/nor presets)."""
+    if data_cfg.alphabet in _WORD_LISTS:
+        return data_cfg.alphabet
+    return data_cfg.phos_version
 
 
 def word_list(n: int, lang: str = "eng") -> list[str]:
