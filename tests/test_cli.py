@@ -1,6 +1,7 @@
 """CLI surface tests: parsers and flag -> config mapping."""
 
 import importlib
+import os
 
 import pytest
 
@@ -373,3 +374,47 @@ def test_phosc_batches_augment_and_writer_styles():
     (ev1, _), = list(_image_batches(tr8[:4], "", 4))
     (ev2, _), = list(_image_batches(tr8[:4], "", 4))
     assert (ev1 == ev2).all()
+
+
+@pytest.mark.slow
+def test_train_sample_charimages_cli_roundtrip(tmp_path, monkeypatch):
+    """cli.train --charImages -> cli.sample --charImages round trip
+    through real argv on a tiny model: the glyph-conv params restore and
+    the sampler conditions on rendered glyph crops
+    (trainModifyCondition.py:406-446 at train time; the reference has NO
+    sampling path for this mode — sampling.py only covers the published
+    variants)."""
+    from worddiffusion_tpu.configs import presets
+    from worddiffusion_tpu.configs.config import (
+        DataConfig, DiffusionConfig, Experiment, UNetConfig,
+    )
+
+    tiny = Experiment(
+        name="iam_base",
+        unet=UNetConfig(
+            model_channels=16, context_dim=16, num_heads=2, vocab_size=54,
+            num_writers=8, max_seq_len=10, in_channels=3, out_channels=3,
+            dtype="float32", char_image_size=(8, 8),
+        ),
+        data=DataConfig(max_chars=10, img_height=16, img_width=32, latent=False),
+        diffusion=DiffusionConfig(num_steps=8),
+    )
+    monkeypatch.setattr(presets, "get", lambda name: tiny)
+    from worddiffusion_tpu.cli import sample as sample_cli
+    from worddiffusion_tpu.cli import train as train_cli
+
+    run = tmp_path / "run"
+    train_cli.main([
+        "--preset", "iam_base", "--synthetic", "1", "--vocab_size", "3",
+        "--samples_per_word", "4", "--charImages", "1", "--latent", "0",
+        "--epochs", "1", "--batch_size", "4", "--img_size", "16,32",
+        "--mesh_data", "1", "--save_path", str(run),
+    ])
+    out = tmp_path / "out"
+    sample_cli.main([
+        "--preset", "iam_base", "--ckpt_dir", str(run / "ckpt"),
+        "--charImages", "1", "--words", "the,of", "--n", "1",
+        "--writer", "1", "--save_path", str(out),
+    ])
+    pngs = sorted(os.listdir(out))
+    assert len(pngs) == 2 and pngs[0].endswith("the.png")

@@ -294,3 +294,50 @@ def test_style_vec_sampling():
     # must change the output
     imgs2 = sampler.sample(["the", "of"], [0, 1], rng, style_vec=sv + 100.0)
     assert not np.array_equal(imgs, imgs2)
+
+
+def test_char_images_sampling():
+    """WordSampler feeds per-character glyph crops through to the model
+    (--charImages inference: without this a glyph-trained model is
+    unsampleable; the training-side crops come from the same builder,
+    trainModifyCondition.py:406-446)."""
+    import dataclasses
+
+    from worddiffusion_tpu.data.dataset import char_glyphs
+    from worddiffusion_tpu.models.unet import UNet
+
+    exp = pixel_exp()
+    exp = dataclasses.replace(
+        exp, unet=dataclasses.replace(
+            exp.unet, use_char_images=True, char_image_size=(8, 8)
+        )
+    )
+    model = UNet(exp.unet)
+    rng = jax.random.PRNGKey(0)
+    glyphs = np.stack([
+        char_glyphs(w, exp.data.max_chars, (8, 8)) for w in ["the", "of"]
+    ])
+    params = model.init(
+        rng,
+        np.zeros((1, 16, 32, 3), np.float32),
+        np.zeros((1,), np.int32),
+        np.zeros((1, 10), np.int32),
+        np.zeros((1,), np.int32),
+        char_images=glyphs[:1],
+    )
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.01 if p.ndim == 4 else p, params
+    )
+    sampler = WordSampler(exp, params)
+    imgs = sampler.sample(["the", "of"], [0, 1], rng, char_images=glyphs)
+    assert imgs.shape == (2, 16, 32, 3) and imgs.dtype == np.uint8
+    # different glyph content must change the output (glyph tokens are
+    # concatenated onto the context)
+    glyphs2 = np.stack([
+        char_glyphs(w, exp.data.max_chars, (8, 8)) for w in ["xyz", "qv"]
+    ])
+    imgs2 = sampler.sample(["the", "of"], [0, 1], rng, char_images=glyphs2)
+    assert not np.array_equal(imgs, imgs2)
+    # preview builds its own glyphs for charImages models
+    prev = sampler.sample_preview(rng, n=2)
+    assert prev.shape[0] == 2

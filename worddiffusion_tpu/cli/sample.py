@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wrdChrWrStyl", type=int, default=0,
                    help="model was trained with 4096-d writer-style "
                         "replacement (needs --style_dict)")
+    p.add_argument("--charImages", type=int, default=0,
+                   help="model was trained with per-character glyph-crop "
+                        "conditioning (cli.train --charImages 1); glyphs "
+                        "for the requested words are rendered exactly as "
+                        "training rendered them")
     p.add_argument("--style_dict", default="",
                    help="writer->style-vector .npz from cli.train_style "
                         "(the reference's cropStyleDict_Numpy.pkl, "
@@ -60,12 +65,15 @@ def load_state(exp, ckpt_dir):
         )
     else:  # pixel mode trains on raw HxWx3 images
         lat = np.zeros((2, exp.data.img_height, exp.data.img_width, 3), np.float32)
+    gh, gw = exp.unet.char_image_size
     params = model.init(
         rng, lat, np.zeros((2,), np.int32),
         np.zeros((2, exp.data.max_chars), np.int32), np.zeros((2,), np.int32),
         phosc_ids=np.zeros((2, exp.unet.phosc_dim), np.int32) if exp.unet.use_phosc else None,
         style_vec=(np.zeros((2, exp.unet.style_vec_dim), np.float32)
                    if exp.unet.style_vec_dim else None),
+        char_images=(np.ones((2, exp.data.max_chars, gh, gw, 1), np.float32)
+                     if exp.unet.use_char_images else None),
     )
     tx = make_optimizer(exp.train.lr)
     state = TrainState.create(params, tx)
@@ -176,6 +184,12 @@ def main(argv=None) -> None:
     from ..utils.images import crop_whitespace, denormalize_to_uint8, save_single_images
 
     exp = presets.get(args.preset)
+    if args.charImages:
+        import dataclasses
+
+        exp = dataclasses.replace(
+            exp, unet=dataclasses.replace(exp.unet, use_char_images=True)
+        )
     style_lookup = None
     if args.wrdChrWrStyl:
         import dataclasses
@@ -238,6 +252,7 @@ def main(argv=None) -> None:
 
     os.makedirs(args.save_path, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
+    glyph_cache: dict = {}
     B = 16
     for start in range(0, len(pairs), B):
         chunk = pairs[start : start + B]
@@ -259,8 +274,17 @@ def main(argv=None) -> None:
                     f"(keys: {sorted(style_lookup)[:10]}...)"
                 )
             style = np.stack([style_lookup[n] for _, _, n in chunk])
+        chimg = None
+        if exp.unet.use_char_images:
+            from ..data.dataset import char_glyphs
+
+            chimg = np.stack([
+                char_glyphs(w, exp.data.max_chars, exp.unet.char_image_size,
+                            glyph_cache)
+                for w in words_b
+            ])
         imgs = sampler.sample(words_b, wids_b, jax.random.fold_in(rng, start),
-                              phosc, style_vec=style)
+                              phosc, style_vec=style, char_images=chimg)
         names = [f"{start+i:05d}_{wid}_{w}.png" for i, (w, wid, _) in enumerate(chunk)]
         if args.crop_whitespace:
             for i in range(len(imgs)):

@@ -35,6 +35,28 @@ from .synthetic import render_word, stable_seed
 from .tokenizer import Tokenizer
 
 
+def char_glyphs(
+    word: str,
+    max_chars: int,
+    size: tuple,
+    cache: Optional[dict] = None,
+) -> np.ndarray:
+    """[max_chars, gh, gw, 1] glyph crops in [-1, 1] (the charImages
+    conditioning, ``trainModifyCondition.py:406-446``); unused slots
+    stay white (+1). Shared by the training dataset and the sampling
+    CLI so inference glyphs match the training renders exactly."""
+    gh, gw = size
+    cache = cache if cache is not None else {}
+    slots = np.ones((max_chars, gh, gw, 1), np.float32)
+    for i, c in enumerate(word[:max_chars]):
+        if c not in cache:
+            g = render_word(c, gh, gw, seed=0, jitter=False)
+            g = normalize_to_unit(g).mean(axis=-1, keepdims=True)
+            cache[c] = g.astype(np.float32)
+        slots[i] = cache[c]
+    return slots
+
+
 class WordImageDataset:
     def __init__(
         self,
@@ -120,18 +142,9 @@ class WordImageDataset:
         return self._phosc_cache[word]
 
     def _char_glyphs(self, word: str) -> np.ndarray:
-        """[max_chars, gh, gw, 1] glyph crops in [-1, 1] (the charImages
-        conditioning, ``trainModifyCondition.py:406-446``); unused slots
-        stay white (+1)."""
-        gh, gw = self.char_image_size
-        slots = np.ones((self.cfg.max_chars, gh, gw, 1), np.float32)
-        for i, c in enumerate(word[: self.cfg.max_chars]):
-            if c not in self._glyph_cache:
-                g = render_word(c, gh, gw, seed=0, jitter=False)
-                g = normalize_to_unit(g).mean(axis=-1, keepdims=True)
-                self._glyph_cache[c] = g.astype(np.float32)
-            slots[i] = self._glyph_cache[c]
-        return slots
+        return char_glyphs(
+            word, self.cfg.max_chars, self.char_image_size, self._glyph_cache
+        )
 
     def __getitem__(self, idx: int) -> dict:
         s = self.samples[idx]

@@ -70,7 +70,7 @@ class WordSampler:
         if key not in self._compiled:
 
             def run(params, rng, ctx, wid, phosc, wid2=None, mix=None,
-                    style=None):
+                    style=None, chimg=None):
                 x = jax.random.normal(
                     jax.random.fold_in(rng, 0), (batch,) + latent_shape, jnp.float32
                 )
@@ -79,6 +79,7 @@ class WordSampler:
                     return self.model.apply(
                         params, xx, tt, ctx, wid, phosc_ids=phosc,
                         writer_id2=wid2, mix_rate=mix, style_vec=style,
+                        char_images=chimg,
                     )
 
                 uncond_fn = None
@@ -133,7 +134,8 @@ class WordSampler:
                 data = NamedSharding(self.mesh, P("data"))
                 self._compiled[key] = jax.jit(
                     run,
-                    in_shardings=(None, rep, data, data, None, None, None, None),
+                    in_shardings=(None, rep, data, data, None, None, None,
+                                  None, None),
                     out_shardings=data,
                 )
             else:
@@ -149,13 +151,17 @@ class WordSampler:
         writer_ids2: Optional[Sequence[int]] = None,
         mix_rate: Optional[float] = None,
         style_vec: Optional[np.ndarray] = None,
+        char_images: Optional[np.ndarray] = None,
     ) -> jax.Array:
         """Dispatch sampling and return the on-device result WITHOUT
         blocking (JAX async dispatch). The caller overlaps host work
         (OCR post-processing, PNG writes) with device compute and syncs
         with ``np.asarray`` when needed — used by the Regenerator's
         double buffering. ``style_vec`` [B, D]: per-sample writer-style
-        vectors for ``--wrdChrWrStyl`` models (``unet.py:1159-1161``)."""
+        vectors for ``--wrdChrWrStyl`` models (``unet.py:1159-1161``).
+        ``char_images`` [B, max_chars, gh, gw, 1]: per-character glyph
+        crops for ``--charImages`` models
+        (``trainModifyCondition.py:406-446``)."""
         ctx = jnp.asarray(self.tokenizer.encode_batch(list(words)))
         wid = jnp.asarray(np.asarray(writer_ids, np.int32))
         if self.exp.data.latent:
@@ -178,7 +184,11 @@ class WordSampler:
             jnp.asarray(np.asarray(style_vec, np.float32))
             if style_vec is not None else None
         )
-        return run(self.params, rng, ctx, wid, ph, wid2, mix, sv)
+        ci = (
+            jnp.asarray(np.asarray(char_images, np.float32))
+            if char_images is not None else None
+        )
+        return run(self.params, rng, ctx, wid, ph, wid2, mix, sv, ci)
 
     def sample(
         self,
@@ -189,13 +199,15 @@ class WordSampler:
         writer_ids2: Optional[Sequence[int]] = None,
         mix_rate: Optional[float] = None,
         style_vec: Optional[np.ndarray] = None,
+        char_images: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """-> uint8 images [B, H, W, 3] synced to host (+ OCR frame-id
         array when ``ocr_apply`` is fused in). ``writer_ids2`` +
         ``mix_rate`` interpolate between two writer styles (reference
         ``--interpolation``)."""
         out = self.sample_async(
-            words, writer_ids, rng, phosc, writer_ids2, mix_rate, style_vec
+            words, writer_ids, rng, phosc, writer_ids2, mix_rate, style_vec,
+            char_images,
         )
         if isinstance(out, tuple):
             return tuple(np.asarray(o) for o in out)
@@ -213,4 +225,13 @@ class WordSampler:
             phosc = np.stack([
                 phosc_vector(w, self.exp.data.phos_version, as_int=True) for w in words
             ]).astype(np.int32)
-        return self.sample(words, wid, rng, phosc)
+        chimg = None
+        if self.exp.unet.use_char_images:
+            from ..data.dataset import char_glyphs
+
+            chimg = np.stack([
+                char_glyphs(w, self.exp.data.max_chars,
+                            self.exp.unet.char_image_size)
+                for w in words
+            ])
+        return self.sample(words, wid, rng, phosc, char_images=chimg)
