@@ -418,3 +418,18 @@ def test_train_sample_charimages_cli_roundtrip(tmp_path, monkeypatch):
     ])
     pngs = sorted(os.listdir(out))
     assert len(pngs) == 2 and pngs[0].endswith("the.png")
+
+
+def test_sample_interpolation_flags():
+    """--writer2/--mix_rate expose the sampler's writer-embedding
+    interpolation (reference --interpolation + mix_rate,
+    sampling.py:122-124, unet.py:1559-1570)."""
+    from worddiffusion_tpu.cli.sample import build_parser
+
+    args = build_parser().parse_args(
+        ["--ckpt_dir", "x", "--writer", "1", "--writer2", "3",
+         "--mix_rate", "0.25"]
+    )
+    assert args.writer2 == 3 and args.mix_rate == 0.25
+    # default: interpolation off
+    assert build_parser().parse_args(["--ckpt_dir", "x"]).writer2 == -1

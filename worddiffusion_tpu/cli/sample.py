@@ -23,6 +23,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="writers_dict_train.json from training; default: "
                         "auto-discover next to --ckpt_dir")
     p.add_argument("--writer", type=int, default=-1, help="-1: random per word")
+    p.add_argument("--writer2", type=int, default=-1,
+                   help="second writer id: interpolate between --writer "
+                        "and --writer2 styles (reference --interpolation, "
+                        "sampling.py:122-124)")
+    p.add_argument("--mix_rate", type=float, default=0.5,
+                   help="interpolation weight towards --writer2")
     p.add_argument("--n", type=int, default=1, help="samples per word")
     p.add_argument("--save_path", default="./samples")
     p.add_argument("--use_ema", type=int, default=1)
@@ -283,9 +289,18 @@ def main(argv=None) -> None:
                             glyph_cache)
                 for w in words_b
             ])
+        wids2 = mix = None
+        if args.writer2 >= 0:
+            # writer-style interpolation (reference --interpolation:
+            # embeddings mixed inside the forward, sampling.py:122-124)
+            wids2 = [args.writer2] * len(chunk)
+            mix = args.mix_rate
         imgs = sampler.sample(words_b, wids_b, jax.random.fold_in(rng, start),
-                              phosc, style_vec=style, char_images=chimg)
-        names = [f"{start+i:05d}_{wid}_{w}.png" for i, (w, wid, _) in enumerate(chunk)]
+                              phosc, writer_ids2=wids2, mix_rate=mix,
+                              style_vec=style, char_images=chimg)
+        suffix = f"_mix{args.mix_rate}" if args.writer2 >= 0 else ""
+        names = [f"{start+i:05d}_{wid}_{w}{suffix}.png"
+                 for i, (w, wid, _) in enumerate(chunk)]
         if args.crop_whitespace:
             for i in range(len(imgs)):
                 cropped = crop_whitespace(denormalize_to_uint8(imgs[i]))
