@@ -433,3 +433,16 @@ def test_sample_interpolation_flags():
     assert args.writer2 == 3 and args.mix_rate == 0.25
     # default: interpolation off
     assert build_parser().parse_args(["--ckpt_dir", "x"]).writer2 == -1
+
+
+def test_sample_img_conditioned_flags():
+    """--imgConditioned needs --cond_image; the flags parse
+    (reference-latent conditioning, trainModifyCondition.py:733)."""
+    from worddiffusion_tpu.cli.sample import build_parser, main
+
+    args = build_parser().parse_args(
+        ["--ckpt_dir", "x", "--imgConditioned", "1", "--cond_image", "a.png"]
+    )
+    assert args.imgConditioned == 1 and args.cond_image == "a.png"
+    with pytest.raises(SystemExit, match="needs --cond_image"):
+        main(["--ckpt_dir", "x", "--imgConditioned", "1"])

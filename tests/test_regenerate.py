@@ -341,3 +341,44 @@ def test_char_images_sampling():
     # preview builds its own glyphs for charImages models
     prev = sampler.sample_preview(rng, n=2)
     assert prev.shape[0] == 2
+
+
+def test_cond_latents_sampling():
+    """WordSampler feeds reference latents through to the model
+    (--imgConditioned inference: channel concat at conv_in, the
+    trainer's original_images=latents, trainModifyCondition.py:733)."""
+    import dataclasses
+
+    from worddiffusion_tpu.models.unet import UNet
+
+    exp = pixel_exp()
+    exp = dataclasses.replace(
+        exp, unet=dataclasses.replace(exp.unet, img_conditioned=True)
+    )
+    model = UNet(exp.unet)
+    rng = jax.random.PRNGKey(0)
+    cl = np.zeros((1, 16, 32, 3), np.float32)
+    params = model.init(
+        rng,
+        np.zeros((1, 16, 32, 3), np.float32),
+        np.zeros((1,), np.int32),
+        np.zeros((1, 10), np.int32),
+        np.zeros((1,), np.int32),
+        cond_latents=cl,
+    )
+    # zero-init out convs make a fresh model insensitive to ALL
+    # conditioning; perturb convs so sensitivity is observable
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.01 if p.ndim == 4 else p, params
+    )
+    sampler = WordSampler(exp, params)
+    cond = np.random.default_rng(0).normal(size=(2, 16, 32, 3)).astype(np.float32)
+    imgs = sampler.sample(["the", "of"], [0, 1], rng, cond_latents=cond)
+    assert imgs.shape == (2, 16, 32, 3) and imgs.dtype == np.uint8
+    # conv_in consumes the reference latent directly (no zero-init gate):
+    # different references must change the output
+    imgs2 = sampler.sample(["the", "of"], [0, 1], rng, cond_latents=cond + 1.0)
+    assert not np.array_equal(imgs, imgs2)
+    # preview supplies a neutral reference for imgConditioned models
+    prev = sampler.sample_preview(rng, n=2)
+    assert prev.shape[0] == 2

@@ -48,6 +48,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "conditioning (cli.train --charImages 1); glyphs "
                         "for the requested words are rendered exactly as "
                         "training rendered them")
+    p.add_argument("--imgConditioned", type=int, default=0,
+                   help="model was trained with reference-latent "
+                        "conditioning (cli.train --imgConditioned 1); "
+                        "needs --cond_image")
+    p.add_argument("--cond_image", default="",
+                   help="image whose (VAE-encoded) latent conditions "
+                        "every sample in --imgConditioned mode (the "
+                        "trainer's original_images=latents, "
+                        "trainModifyCondition.py:733)")
     p.add_argument("--style_dict", default="",
                    help="writer->style-vector .npz from cli.train_style "
                         "(the reference's cropStyleDict_Numpy.pkl, "
@@ -80,6 +89,7 @@ def load_state(exp, ckpt_dir):
                    if exp.unet.style_vec_dim else None),
         char_images=(np.ones((2, exp.data.max_chars, gh, gw, 1), np.float32)
                      if exp.unet.use_char_images else None),
+        cond_latents=(np.zeros_like(lat) if exp.unet.img_conditioned else None),
     )
     tx = make_optimizer(exp.train.lr)
     state = TrainState.create(params, tx)
@@ -190,12 +200,18 @@ def main(argv=None) -> None:
     from ..utils.images import crop_whitespace, denormalize_to_uint8, save_single_images
 
     exp = presets.get(args.preset)
-    if args.charImages:
+    if args.charImages or args.imgConditioned:
         import dataclasses
 
         exp = dataclasses.replace(
-            exp, unet=dataclasses.replace(exp.unet, use_char_images=True)
+            exp, unet=dataclasses.replace(
+                exp.unet,
+                use_char_images=bool(args.charImages),
+                img_conditioned=bool(args.imgConditioned),
+            )
         )
+    if args.imgConditioned and not args.cond_image:
+        raise SystemExit("--imgConditioned 1 needs --cond_image")
     style_lookup = None
     if args.wrdChrWrStyl:
         import dataclasses
@@ -229,6 +245,27 @@ def main(argv=None) -> None:
                        if exp.data.latent else (None, None))
     sampler = WordSampler(exp, params, vae, vae_params, cfg_scale=args.cfg_scale,
                           ddim_steps=args.ddim, ddim_eta=args.ddim_eta)
+
+    cond_lat1 = None
+    if args.imgConditioned:
+        from PIL import Image
+
+        from ..utils.images import normalize_to_unit, resize_and_pad
+
+        raw = np.asarray(Image.open(args.cond_image).convert("RGB"))
+        img = normalize_to_unit(
+            resize_and_pad(raw, exp.data.img_height, exp.data.img_width)
+        )[None]
+        if exp.data.latent:
+            # SD-scaled posterior mean: the space training latents (and
+            # therefore the trainer's cond_latents) live in
+            from ..models.vae import encode_to_latent
+
+            cond_lat1 = np.asarray(encode_to_latent(
+                vae, vae_params, img, jax.random.PRNGKey(0), sample=False
+            ))
+        else:
+            cond_lat1 = img.astype(np.float32)
 
     if args.gt_file:
         from ..data.gt import parse_gt
@@ -295,9 +332,12 @@ def main(argv=None) -> None:
             # embeddings mixed inside the forward, sampling.py:122-124)
             wids2 = [args.writer2] * len(chunk)
             mix = args.mix_rate
+        condlat = (np.repeat(cond_lat1, len(chunk), axis=0)
+                   if cond_lat1 is not None else None)
         imgs = sampler.sample(words_b, wids_b, jax.random.fold_in(rng, start),
                               phosc, writer_ids2=wids2, mix_rate=mix,
-                              style_vec=style, char_images=chimg)
+                              style_vec=style, char_images=chimg,
+                              cond_latents=condlat)
         suffix = f"_mix{args.mix_rate}" if args.writer2 >= 0 else ""
         names = [f"{start+i:05d}_{wid}_{w}{suffix}.png"
                  for i, (w, wid, _) in enumerate(chunk)]

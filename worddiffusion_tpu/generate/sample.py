@@ -70,7 +70,7 @@ class WordSampler:
         if key not in self._compiled:
 
             def run(params, rng, ctx, wid, phosc, wid2=None, mix=None,
-                    style=None, chimg=None):
+                    style=None, chimg=None, condlat=None):
                 x = jax.random.normal(
                     jax.random.fold_in(rng, 0), (batch,) + latent_shape, jnp.float32
                 )
@@ -79,7 +79,7 @@ class WordSampler:
                     return self.model.apply(
                         params, xx, tt, ctx, wid, phosc_ids=phosc,
                         writer_id2=wid2, mix_rate=mix, style_vec=style,
-                        char_images=chimg,
+                        char_images=chimg, cond_latents=condlat,
                     )
 
                 uncond_fn = None
@@ -135,7 +135,7 @@ class WordSampler:
                 self._compiled[key] = jax.jit(
                     run,
                     in_shardings=(None, rep, data, data, None, None, None,
-                                  None, None),
+                                  None, None, None),
                     out_shardings=data,
                 )
             else:
@@ -152,6 +152,7 @@ class WordSampler:
         mix_rate: Optional[float] = None,
         style_vec: Optional[np.ndarray] = None,
         char_images: Optional[np.ndarray] = None,
+        cond_latents: Optional[np.ndarray] = None,
     ) -> jax.Array:
         """Dispatch sampling and return the on-device result WITHOUT
         blocking (JAX async dispatch). The caller overlaps host work
@@ -161,7 +162,11 @@ class WordSampler:
         vectors for ``--wrdChrWrStyl`` models (``unet.py:1159-1161``).
         ``char_images`` [B, max_chars, gh, gw, 1]: per-character glyph
         crops for ``--charImages`` models
-        (``trainModifyCondition.py:406-446``)."""
+        (``trainModifyCondition.py:406-446``). ``cond_latents``
+        [B, h, w, c]: reference latents (SD-scaled, i.e.
+        ``encode_to_latent`` output) for ``--imgConditioned`` models
+        (the trainer's ``original_images=latents``,
+        ``trainModifyCondition.py:733``)."""
         ctx = jnp.asarray(self.tokenizer.encode_batch(list(words)))
         wid = jnp.asarray(np.asarray(writer_ids, np.int32))
         if self.exp.data.latent:
@@ -188,7 +193,11 @@ class WordSampler:
             jnp.asarray(np.asarray(char_images, np.float32))
             if char_images is not None else None
         )
-        return run(self.params, rng, ctx, wid, ph, wid2, mix, sv, ci)
+        cl = (
+            jnp.asarray(np.asarray(cond_latents, np.float32))
+            if cond_latents is not None else None
+        )
+        return run(self.params, rng, ctx, wid, ph, wid2, mix, sv, ci, cl)
 
     def sample(
         self,
@@ -200,6 +209,7 @@ class WordSampler:
         mix_rate: Optional[float] = None,
         style_vec: Optional[np.ndarray] = None,
         char_images: Optional[np.ndarray] = None,
+        cond_latents: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """-> uint8 images [B, H, W, 3] synced to host (+ OCR frame-id
         array when ``ocr_apply`` is fused in). ``writer_ids2`` +
@@ -207,7 +217,7 @@ class WordSampler:
         ``--interpolation``)."""
         out = self.sample_async(
             words, writer_ids, rng, phosc, writer_ids2, mix_rate, style_vec,
-            char_images,
+            char_images, cond_latents,
         )
         if isinstance(out, tuple):
             return tuple(np.asarray(o) for o in out)
@@ -234,4 +244,15 @@ class WordSampler:
                             self.exp.unet.char_image_size)
                 for w in words
             ])
-        return self.sample(words, wid, rng, phosc, char_images=chimg)
+        cl = None
+        if self.exp.unet.img_conditioned:
+            # neutral (zero) reference latent: conv_in was built for the
+            # concatenated width, so SOME conditioning tensor must exist
+            if self.exp.data.latent:
+                shape = (self.exp.data.img_height // 8,
+                         self.exp.data.img_width // 8, 4)
+            else:
+                shape = (self.exp.data.img_height, self.exp.data.img_width, 3)
+            cl = np.zeros((len(words),) + shape, np.float32)
+        return self.sample(words, wid, rng, phosc, char_images=chimg,
+                           cond_latents=cl)
