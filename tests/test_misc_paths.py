@@ -93,3 +93,26 @@ def test_local_batch_slice():
     from worddiffusion_tpu.parallel.distributed import local_batch_slice
 
     assert local_batch_slice(64) == 64  # single process
+
+
+def test_wd_platform_env_pins_cpu():
+    """WD_PLATFORM=cpu must pin the platform at the jax.config layer
+    (JAX_PLATFORMS alone is overridden by deployment sitecustomize
+    hooks that force-select an accelerator backend — a 'CPU' run
+    landing on the shared chip silently contends with training)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import worddiffusion_tpu, jax; "
+         "print([d.platform for d in jax.devices()])"],
+        env={"PATH": os.environ.get("PATH", ""),
+             "PALLAS_AXON_POOL_IPS": os.environ.get("PALLAS_AXON_POOL_IPS", ""),
+             "HOME": os.environ.get("HOME", "/root"),
+             "WD_PLATFORM": "cpu", "WD_CPU_DEVICES": "2"},
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "['cpu', 'cpu']" in out.stdout, out.stdout
