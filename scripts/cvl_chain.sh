@@ -12,12 +12,14 @@ set -e
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 
-echo "=== 1. CVL CTC recognizer (extended digits/punct alphabet) ==="
-python -m worddiffusion_tpu.cli.train_ocr --synthetic 1 --lang cvl \
-    --vocab_size 90 --samples_per_word 24 --eval_renders 4 \
-    --epochs 60 --batch_size 64 --lr 1e-3 --save_dir runs/ocr_cvl
+if [ -z "$(ls runs/ocr_cvl/ckpt 2>/dev/null)" ]; then
+  echo "=== 1. CVL CTC recognizer (extended digits/punct alphabet) ==="
+  python -m worddiffusion_tpu.cli.train_ocr --synthetic 1 --lang cvl \
+      --vocab_size 90 --samples_per_word 24 --eval_renders 4 \
+      --epochs 60 --batch_size 64 --lr 1e-3 --save_dir runs/ocr_cvl
+fi
 
-if [ ! -d runs/vae_cvl/ckpt ]; then
+if [ -z "$(ls runs/vae_cvl/ckpt 2>/dev/null)" ]; then
   echo "=== 2. Latent codec covering CVL glyphs (eng+cvl corpus) ==="
   python -m worddiffusion_tpu.cli.train_vae --synthetic 1 \
       --langs eng,cvl --vocab_size 60 --samples_per_word 8 --epochs 200 \
