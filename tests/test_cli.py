@@ -446,3 +446,35 @@ def test_sample_img_conditioned_flags():
     assert args.imgConditioned == 1 and args.cond_image == "a.png"
     with pytest.raises(SystemExit, match="needs --cond_image"):
         main(["--ckpt_dir", "x", "--imgConditioned", "1"])
+
+
+@pytest.mark.slow
+def test_train_phosc_len_counter_cycle(tmp_path):
+    """Full reference test-mode protocol with length estimation
+    (gzslAccuracyTestAni lenEstimation path, engine.py:273-461):
+    train_phosc 1 epoch -> train_charcounter 1 epoch -> --mode test
+    --len_counter reports length_accuracy alongside ZSL/GZSL."""
+    from worddiffusion_tpu.cli import train_charcounter
+    from worddiffusion_tpu.cli.train_phosc import main as phosc_main
+
+    save = tmp_path / "phosc"
+    phosc_main([
+        "--mode", "train", "--synthetic", "1", "--n_synth", "16",
+        "--renders_per_word", "2", "--epochs", "1", "--batch_size", "8",
+        "--save_dir", str(save),
+    ])
+    counter_dir = tmp_path / "counter"
+    train_charcounter.main([
+        "--synthetic", "1", "--samples_per_word", "2", "--epochs", "1",
+        "--batch_size", "8", "--save_dir", str(counter_dir),
+    ])
+    phosc_main([
+        "--mode", "test", "--synthetic", "1", "--n_synth", "16",
+        "--renders_per_word", "2", "--batch_size", "8",
+        "--save_dir", str(save),
+        "--len_counter", str(counter_dir / "params.pkl"),
+    ])
+    results = (save / "testresults.txt").read_text()
+    for key in ("zsl=", "gzsl_harmonic=", "length_accuracy=",
+                "length_fuzzy_accuracy="):
+        assert key in results, results

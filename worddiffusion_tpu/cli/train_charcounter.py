@@ -23,6 +23,8 @@ def main(argv=None) -> None:
     p.add_argument("--balance", type=int, default=0,
                    help="balance samples per word length (augment_dataset_for_charactercounter)")
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--samples_per_word", type=int, default=16,
+                   help="synthetic mode: renders per vocabulary word")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -37,7 +39,7 @@ def main(argv=None) -> None:
     from ..utils.images import normalize_to_unit, resize_and_pad
 
     if args.synthetic or not args.gt_train:
-        samples = synthetic_corpus(samples_per_word=16)
+        samples = synthetic_corpus(samples_per_word=args.samples_per_word)
     else:
         samples, _ = parse_gt(args.gt_train)
     if args.balance:

@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--writer_styles", type=int, default=0,
                    help="synthetic mode: render each sample with its "
                         "writer's consistent style (slant/weight/size)")
+    p.add_argument("--len_counter", default="",
+                   help="test mode: charcounter params.pkl — adds the "
+                        "length-estimation evaluation (the reference's "
+                        "gzslAccuracyTestAni lenEstimation path, "
+                        "engine.py:273-461)")
+    p.add_argument("--counter_outputs", type=int, default=17)
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -345,8 +351,44 @@ def main(argv=None) -> None:
             [s.word for s in test_samples],
             args.language,
         )
-        logging.info("ZSL test acc %.4f by-len %s GZSL %s calibrated-best %s",
-                     acc, by_len, gz, cal["best"])
+        with_len = None
+        if args.len_counter:
+            # length-estimation evaluation (gzslAccuracyTestAni with
+            # lenEstimation, engine.py:352-438): the trained character
+            # counter predicts word length alongside the ZSL/GZSL decode
+            import pickle
+
+            from ..eval.zsl import zsl_gzsl_with_length
+            from ..models.charcounter import CharacterCounterNet
+
+            with open(args.len_counter, "rb") as f:
+                counter_params = pickle.load(f)
+            counter = CharacterCounterNet(outputs=args.counter_outputs)
+            counter_apply = jax.jit(
+                lambda p, im: counter.apply(p, _dev_norm(im)))
+
+            def counter_fn(images):
+                # classifier head -> the reference's thresholded
+                # multi-hot protocol ((lv > 0.5).sum(-1) == argmax + 1)
+                probs = counter_apply(counter_params, jnp.asarray(images))
+                pred = jnp.argmax(probs, axis=-1) + 1
+                return (jnp.arange(args.counter_outputs)[None, :]
+                        < pred[:, None]).astype(jnp.float32)
+
+            seen_words = sorted({s.word for s in train_samples})
+            union_words = sorted({s.word for s in train_samples}
+                                 | {s.word for s in test_samples})
+            with_len = zsl_gzsl_with_length(
+                fn,
+                _image_batches(test_samples, args.image_dir, args.batch_size,
+                               drop_remainder=False),
+                seen_words,
+                union_words,
+                counter_fn=counter_fn,
+                version=args.language,
+            )
+        logging.info("ZSL test acc %.4f by-len %s GZSL %s calibrated-best %s"
+                     " with-length %s", acc, by_len, gz, cal["best"], with_len)
         with open(os.path.join(args.save_dir, "testresults.txt"), "a") as f:
             f.write(f"zsl={acc}\nby_len={by_len}\n")
             f.write(f"gzsl_seen={gz['seen']}\ngzsl_unseen={gz['unseen']}\n"
@@ -356,6 +398,12 @@ def main(argv=None) -> None:
                     f"gzsl_calibrated_seen={b['seen']}\n"
                     f"gzsl_calibrated_unseen={b['unseen']}\n"
                     f"gzsl_calibrated_harmonic={b['harmonic_mean']}\n")
+            if with_len is not None:
+                f.write(f"len_zsl={with_len['zsl']}\n"
+                        f"len_gzsl={with_len['gzsl']}\n"
+                        f"length_accuracy={with_len['length_accuracy']}\n"
+                        f"length_fuzzy_accuracy="
+                        f"{with_len['length_fuzzy_accuracy']}\n")
 
 
 if __name__ == "__main__":
