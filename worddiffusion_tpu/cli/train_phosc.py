@@ -46,7 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="test mode: charcounter params.pkl — adds the "
                         "length-estimation evaluation (the reference's "
                         "gzslAccuracyTestAni lenEstimation path, "
-                        "engine.py:273-461)")
+                        "engine.py:273-461; its 'len_vec_sigmoid' head "
+                        "exists in NO shipped reference model, so the "
+                        "trained charactercounter supplies the length "
+                        "vector here)")
     p.add_argument("--counter_outputs", type=int, default=17)
     p.add_argument("--seed", type=int, default=0)
     return p

@@ -186,8 +186,13 @@ def zsl_gzsl_with_length(
             zsl_ok += s_words[zi[i]] == target
             gzsl_ok += u_words[gi[i]] == target
             if len_pred is not None:
-                len_ok += int(len_pred[i]) == len(target)
-                len_fuzzy += abs(int(len_pred[i]) - len(target)) <= 1
+                exact = int(len_pred[i]) == len(target)
+                len_ok += exact
+                # the reference's fuzzyAccuracy is the *elif* branch
+                # (engine.py:432-435): +-1 misses only, exact hits are
+                # NOT double-counted into fuzzy
+                len_fuzzy += (not exact) and (
+                    abs(int(len_pred[i]) - len(target)) <= 1)
     res = {
         "zsl": zsl_ok / max(n, 1),
         "gzsl": gzsl_ok / max(n, 1),
