@@ -81,6 +81,9 @@ SLOW_TESTS = {
     "test_regen_stop_flag",           # StopFlag unit tests + trainer stop-flag cover
     "test_old_attention_naming_supported",  # legacy ckpt naming; conversion stays fast
     "test_writer_interpolation",      # writer-conditioning sensitivity test stays fast
+    # round-3 pallas-ffn addition: whole-UNet parity in interpret mode
+    # (~30s); the cheap kernel-level ffn tests stay in the fast tier
+    "test_pallas_ffn_param_tree_and_output_parity",
 }
 
 

@@ -86,6 +86,41 @@ def test_fused_groupnorm_bf16():
     assert np.all(np.isfinite(np.asarray(out, np.float32)))
 
 
+def test_fused_geglu_ffn_matches_xla():
+    from worddiffusion_tpu.ops.ffn_pallas import _xla_baseline, fused_geglu_ffn
+
+    rng = jax.random.PRNGKey(0)
+    d, inner = 320, 1280
+    x = jax.random.normal(rng, (2, 256, d), jnp.float32)
+    w1 = jax.random.normal(jax.random.fold_in(rng, 1), (d, 2 * inner)) * 0.02
+    b1 = jax.random.normal(jax.random.fold_in(rng, 2), (2 * inner,)) * 0.02
+    w2 = jax.random.normal(jax.random.fold_in(rng, 3), (inner, d)) * 0.02
+    b2 = jax.random.normal(jax.random.fold_in(rng, 4), (d,)) * 0.02
+    out = np.asarray(fused_geglu_ffn(x, w1, b1, w2, b2), np.float32)
+    ref = np.asarray(_xla_baseline(x, w1, b1, w2, b2), np.float32)
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() < 2e-4
+
+
+def test_fused_geglu_ffn_bf16_and_padding():
+    """bf16 path + an M that is not a multiple of the row tile."""
+    from worddiffusion_tpu.ops.ffn_pallas import _xla_baseline, fused_geglu_ffn
+
+    rng = jax.random.PRNGKey(7)
+    d, inner, m = 64, 256, 100  # m=100 forces the pad-and-slice path
+    x = jax.random.normal(rng, (m, d), jnp.bfloat16)
+    w1 = jax.random.normal(jax.random.fold_in(rng, 1), (d, 2 * inner)) * 0.05
+    b1 = jax.random.normal(jax.random.fold_in(rng, 2), (2 * inner,)) * 0.05
+    w2 = jax.random.normal(jax.random.fold_in(rng, 3), (inner, d)) * 0.05
+    b2 = jax.random.normal(jax.random.fold_in(rng, 4), (d,)) * 0.05
+    out = fused_geglu_ffn(x, w1, b1, w2, b2, block_m=64)
+    assert out.dtype == jnp.bfloat16
+    ref = _xla_baseline(x, w1, b1, w2, b2)
+    assert np.allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.05
+    )
+
+
 def test_fused_gn_silu_conv3x3_matches_xla():
     """Mega-kernel (interpret mode on CPU) vs the XLA GN->SiLU->conv
     reference at a small shape."""

@@ -145,3 +145,20 @@ def test_jit_and_grad():
     # gradient reaches the embedding tables
     total = sum(float(jnp.abs(l).sum()) for l in flat)
     assert total > 0
+
+
+def test_pallas_ffn_param_tree_and_output_parity():
+    """use_pallas_ffn must not change the param tree (checkpoint
+    interop) and must match the unfused path numerically."""
+    cfg_off = tiny_cfg(use_pallas_ffn=False)
+    cfg_on = tiny_cfg(use_pallas_ffn=True)
+    rng = jax.random.PRNGKey(0)
+    x, t, ctx, wid = make_inputs(rng)
+    params = UNet(cfg_off).init(rng, x, t, ctx, wid)
+    params_on = UNet(cfg_on).init(rng, x, t, ctx, wid)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_on
+    )
+    out_off = UNet(cfg_off).apply(params, x, t, ctx, wid)
+    out_on = UNet(cfg_on).apply(params, x, t, ctx, wid)
+    assert np.allclose(np.asarray(out_on), np.asarray(out_off), atol=5e-4)

@@ -84,6 +84,11 @@ class UNetConfig:
     remat: bool = False            # jax.checkpoint the transformer blocks
     use_pallas_attention: bool = False
     use_pallas_groupnorm: bool = False
+    # Fused GEGLU feed-forward (the one adopted Pallas kernel: keeps the
+    # 2560-wide FF intermediate in VMEM; see ops/ffn_pallas.py).
+    # None = auto: on when the backend is TPU, off elsewhere (CPU runs
+    # would pay interpret-mode cost for no benefit).
+    use_pallas_ffn: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -114,6 +114,7 @@ class BasicTransformerBlock(nn.Module):
     attn1_cross: bool = True
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False
+    use_pallas_ffn: bool = False
     sow_attn: bool = False
 
     @nn.compact
@@ -152,7 +153,10 @@ class BasicTransformerBlock(nn.Module):
             sow_attn=self.sow_attn,
             name="attn2",
         )
-        ff = FeedForward(self.dim, dropout=self.dropout, dtype=self.dtype, name="ff")
+        ff = FeedForward(
+            self.dim, dropout=self.dropout, dtype=self.dtype,
+            use_pallas=self.use_pallas_ffn, name="ff",
+        )
 
         if self.attn1_cross:
             # research UNet: both attentions see the context, shared norm2
@@ -181,6 +185,7 @@ class SpatialTransformer(nn.Module):
     attn1_cross: bool = True
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False
+    use_pallas_ffn: bool = False
     sow_attn: bool = False
     remat: bool = False
 
@@ -211,6 +216,7 @@ class SpatialTransformer(nn.Module):
                 attn1_cross=self.attn1_cross,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                use_pallas_ffn=self.use_pallas_ffn,
                 sow_attn=self.sow_attn,
                 name=f"block_{i}",
             )(x, context, deterministic)

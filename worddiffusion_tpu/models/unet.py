@@ -99,6 +99,12 @@ class UNet(nn.Module):
             attn1_cross=cfg.attn1_cross,
             dtype=jnp.dtype(cfg.dtype),
             use_pallas=cfg.use_pallas_attention,
+            # auto (None): the fused FF kernel wins on TPU only; CPU
+            # would run it in interpret mode for no benefit
+            use_pallas_ffn=(
+                jax.default_backend() == "tpu"
+                if cfg.use_pallas_ffn is None else cfg.use_pallas_ffn
+            ),
             sow_attn=cfg.return_attn,
             remat=cfg.remat,
             name=name,

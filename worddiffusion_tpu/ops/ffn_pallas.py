@@ -1,0 +1,146 @@
+"""Pallas fused GEGLU feed-forward kernel.
+
+The transformer FF (``/root/reference/unet.py:122-149``: Dense(d, 8d)
+-> split -> x * gelu(gate) -> Dense(4d, d)) materialises the widest
+activation in the whole UNet: at the flagship shape the 2560-wide GEGLU
+projection is ~160 MB bf16 per call at batch 128 — written to HBM by
+the first matmul and read back by the gate fusion, because XLA never
+fuses two matmuls into one kernel. That round-trip is pure HBM traffic
+in a sampler that is memory-bound at ~90% of roofline (BENCHMARKS.md).
+
+This kernel chains both matmuls in one program, keeping the [BM, 8d]
+intermediate in VMEM: grid over row tiles of the flattened [M, d]
+input; both weight matrices use constant index maps so Mosaic loads
+them into VMEM once and reuses them across the grid. Unlike the
+per-(batch,head) attention kernels that lost to XLA (MXU underfill at
+256x80 shapes), these matmuls are MXU-shaped: K=320/1280, N=2560/320,
+M=512 per program.
+
+Numerics: bf16 operands, fp32 MXU accumulation, fp32 bias + GEGLU
+(tanh-approx gelu, matching ``flax.linen.gelu``), one bf16 cast between
+the two matmuls (where the baseline's Dense also casts).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, inner: int):
+    x = x_ref[:]                                            # [BM, d] bf16
+    h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:]                                       # [BM, 2*inner] f32
+    act = (h[:, :inner] * jax.nn.gelu(h[:, inner:])).astype(x.dtype)
+    y = jnp.dot(act, w2_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = (y + b2_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
+def fused_geglu_ffn(
+    x: jax.Array,        # [..., d]
+    w1: jax.Array,       # [d, 2*inner]
+    b1: jax.Array,       # [2*inner]
+    w2: jax.Array,       # [inner, d]
+    b2: jax.Array,       # [d]
+    block_m: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    orig_shape = x.shape
+    d = x.shape[-1]
+    inner = w2.shape[0]
+    assert w1.shape == (d, 2 * inner), (w1.shape, d, inner)
+    m = x.size // d
+    xf = x.reshape(m, d)
+
+    bm = min(block_m, max(8, m))
+    pad = (-m) % bm
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    mp = m + pad
+
+    w1c = w1.astype(x.dtype)
+    w2c = w2.astype(x.dtype)
+    b1c = b1.astype(jnp.float32).reshape(1, 2 * inner)
+    b2c = b2.astype(jnp.float32).reshape(1, d)
+
+    out = pl.pallas_call(
+        functools.partial(_ffn_kernel, inner=inner),
+        grid=(mp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 2 * inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((inner, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, d), x.dtype),
+        interpret=interpret,
+    )(xf, w1c, b1c, w2c, b2c)
+    if pad:
+        out = out[:m]
+    return out.reshape(orig_shape)
+
+
+def _xla_baseline(x, w1, b1, w2, b2):
+    """The unfused reference path exactly as ``layers.FeedForward`` runs
+    it: two bf16 Dense calls with the 2*inner-wide intermediate."""
+    dt = x.dtype
+    h = x @ w1.astype(dt) + b1.astype(dt)
+    a, g = jnp.split(h, 2, axis=-1)
+    act = a * jax.nn.gelu(g)
+    return act @ w2.astype(dt) + b2.astype(dt)
+
+
+def _bench() -> None:  # pragma: no cover - manual benchmark
+    import time
+
+    import numpy as np
+
+    d, inner, n_tok = 320, 1280, 256
+    for batch in (128,):
+        m = batch * n_tok
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((m, d)), jnp.bfloat16)
+        w1 = jnp.asarray(rng.standard_normal((d, 2 * inner)) * 0.02, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal(2 * inner) * 0.02, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((inner, d)) * 0.02, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal(d) * 0.02, jnp.float32)
+
+        # chain the op x200 inside one jit so the axon dispatch latency
+        # is not what gets timed; scalar output keeps the tunnel quiet
+        def chain(f):
+            @jax.jit
+            def run(x0):
+                def body(_, xi):
+                    return f(xi, w1, b1, w2, b2).astype(jnp.bfloat16)
+                return jnp.sum(jax.lax.fori_loop(0, 200, body, x0).astype(jnp.float32))
+            return run
+
+        for name, f in (
+            ("xla ", lambda *a: _xla_baseline(*a)),
+            ("plls", lambda *a: fused_geglu_ffn(*a)),
+        ):
+            run = chain(f)
+            float(run(x))  # compile+sync
+            best = min(
+                (lambda t0: (float(run(x)), time.perf_counter() - t0)[1])(
+                    time.perf_counter()
+                )
+                for _ in range(3)
+            )
+            print(
+                f"B={batch} {name}: {best / 200 * 1e3:.3f} ms/op  "
+                f"({2 * m * (d * 2 * inner + inner * d) * 200 / best / 1e12:.1f} TFLOP/s)"
+            )
+
+
+if __name__ == "__main__":
+    _bench()
