@@ -102,6 +102,29 @@ def test_fused_geglu_ffn_matches_xla():
     assert np.abs(out - ref).max() < 2e-4
 
 
+def test_fused_ln_geglu_ffn_matches_composition():
+    """x + FFN(LN(x)) fused == f32 LayerNorm -> unfused FFN -> residual."""
+    from worddiffusion_tpu.ops.ffn_pallas import _xla_baseline, fused_ln_geglu_ffn
+
+    rng = jax.random.PRNGKey(11)
+    d, inner = 128, 512
+    x = jax.random.normal(rng, (3, 64, d), jnp.float32) * 2 + 0.3
+    g = 1 + 0.1 * jax.random.normal(jax.random.fold_in(rng, 1), (d,))
+    be = 0.1 * jax.random.normal(jax.random.fold_in(rng, 2), (d,))
+    w1 = jax.random.normal(jax.random.fold_in(rng, 3), (d, 2 * inner)) * 0.02
+    b1 = jax.random.normal(jax.random.fold_in(rng, 4), (2 * inner,)) * 0.02
+    w2 = jax.random.normal(jax.random.fold_in(rng, 5), (inner, d)) * 0.02
+    b2 = jax.random.normal(jax.random.fold_in(rng, 6), (d,)) * 0.02
+
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    xn = (x - mu) / jnp.sqrt(var + 1e-5) * g + be
+    ref = x + _xla_baseline(xn, w1, b1, w2, b2)
+
+    out = fused_ln_geglu_ffn(x, g, be, w1, b1, w2, b2)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 5e-4
+
+
 def test_fused_geglu_ffn_bf16_and_padding():
     """bf16 path + an M that is not a multiple of the row tile."""
     from worddiffusion_tpu.ops.ffn_pallas import _xla_baseline, fused_geglu_ffn

@@ -154,8 +154,7 @@ class BasicTransformerBlock(nn.Module):
             name="attn2",
         )
         ff = FeedForward(
-            self.dim, dropout=self.dropout, dtype=self.dtype,
-            use_pallas=self.use_pallas_ffn, name="ff",
+            self.dim, dropout=self.dropout, dtype=self.dtype, name="ff",
         )
 
         if self.attn1_cross:
@@ -168,8 +167,26 @@ class BasicTransformerBlock(nn.Module):
         else:
             x = x + attn1(ln("norm1")(x).astype(self.dtype), None, deterministic)
             x = x + attn2(ln("norm2")(x).astype(self.dtype), context, deterministic)
-        x = x + ff(ln("norm3")(x).astype(self.dtype), deterministic)
-        return x
+
+        norm3 = ln("norm3")
+        if self.use_pallas_ffn and self.dropout == 0.0:
+            # Whole FF sub-layer (LN + GEGLU matmul chain + residual) as
+            # one Pallas kernel. The unfused modules are still declared
+            # with dummy rows (dead code under jit) so the param tree —
+            # and therefore checkpoint interop — is identical.
+            from ..ops.ffn_pallas import fused_ln_geglu_ffn
+
+            norm3(jnp.zeros((1, self.dim), jnp.float32))
+            ff(jnp.zeros((1, 1, self.dim), self.dtype), deterministic)
+            ln_p = norm3.variables["params"]
+            ff_p = ff.variables["params"]
+            p1 = ff_p["GEGLU_0"]["Dense_0"]["Dense_0"]
+            p2 = ff_p["Dense_0"]["Dense_0"]
+            return fused_ln_geglu_ffn(
+                x, ln_p["scale"], ln_p["bias"],
+                p1["kernel"], p1["bias"], p2["kernel"], p2["bias"],
+            )
+        return x + ff(norm3(x).astype(self.dtype), deterministic)
 
 
 class SpatialTransformer(nn.Module):

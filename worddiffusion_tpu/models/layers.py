@@ -147,38 +147,22 @@ class GEGLU(nn.Module):
 class FeedForward(nn.Module):
     """Transformer FF with GEGLU gating, mult 4 (``unet.py:134-149``).
 
-    With ``use_pallas`` both matmuls run as one Pallas kernel that keeps
-    the 2*inner-wide GEGLU intermediate in VMEM (``ops/ffn_pallas``) —
-    the widest activation in the UNet never touches HBM. The parameter
-    tree is identical in both modes (the unfused submodules are still
-    declared, so checkpoints interoperate)."""
+    On TPU, ``BasicTransformerBlock`` bypasses this module's forward and
+    runs the whole FF sub-layer (LayerNorm + both matmuls + GEGLU +
+    residual) as one Pallas kernel over the same parameters
+    (``ops/ffn_pallas.fused_ln_geglu_ffn``)."""
 
     dim: int
     mult: int = 4
     dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         inner = int(self.dim * self.mult)
-        geglu = GEGLU(inner, dtype=self.dtype)
-        proj_out = Dense(self.dim, dtype=self.dtype)
-        if not (self.use_pallas and self.dropout == 0.0):
-            x = geglu(x)
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-            return proj_out(x)
-        # Materialise the submodule params with dummy rows (dead code
-        # under jit), then run the fused kernel on the same tensors.
-        from ..ops.ffn_pallas import fused_geglu_ffn
-
-        geglu(jnp.zeros((1, self.dim), self.dtype))
-        proj_out(jnp.zeros((1, inner), self.dtype))
-        p1 = geglu.variables["params"]["Dense_0"]["Dense_0"]
-        p2 = proj_out.variables["params"]["Dense_0"]
-        return fused_geglu_ffn(
-            x, p1["kernel"], p1["bias"], p2["kernel"], p2["bias"]
-        )
+        x = GEGLU(inner, dtype=self.dtype)(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return Dense(self.dim, dtype=self.dtype)(x)
 
 
 class Upsample(nn.Module):

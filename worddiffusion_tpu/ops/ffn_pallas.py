@@ -31,13 +31,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, inner: int):
-    x = x_ref[:]                                            # [BM, d] bf16
+def _ffn_core(x, w1_ref, b1_ref, w2_ref, b2_ref, inner: int):
     h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:]                                       # [BM, 2*inner] f32
     act = (h[:, :inner] * jax.nn.gelu(h[:, inner:])).astype(x.dtype)
-    y = jnp.dot(act, w2_ref[:], preferred_element_type=jnp.float32)
-    o_ref[:] = (y + b2_ref[:]).astype(o_ref.dtype)
+    return jnp.dot(act, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+
+
+def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, inner: int):
+    x = x_ref[:]                                            # [BM, d] bf16
+    o_ref[:] = _ffn_core(x, w1_ref, b1_ref, w2_ref, b2_ref, inner).astype(
+        o_ref.dtype
+    )
+
+
+def _ln_ffn_kernel(
+    x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+    *, inner: int, eps: float,
+):
+    """out = x + FFN(LayerNorm(x)) — the transformer block's whole FF
+    sub-layer (``unet.py:325-345`` norm3 path) in one VMEM residency."""
+    x = x_ref[:]                                            # [BM, d]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + eps) * g_ref[:] + b_ref[:]).astype(
+        x.dtype
+    )
+    y = _ffn_core(xn, w1_ref, b1_ref, w2_ref, b2_ref, inner)
+    o_ref[:] = (xf + y).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
@@ -89,6 +111,62 @@ def fused_geglu_ffn(
     return out.reshape(orig_shape)
 
 
+@functools.partial(jax.jit, static_argnames=("eps", "block_m", "interpret"))
+def fused_ln_geglu_ffn(
+    x: jax.Array,        # [..., d] residual stream
+    gamma: jax.Array,    # [d] LayerNorm scale
+    beta: jax.Array,     # [d] LayerNorm bias
+    w1: jax.Array,       # [d, 2*inner]
+    b1: jax.Array,       # [2*inner]
+    w2: jax.Array,       # [inner, d]
+    b2: jax.Array,       # [d]
+    eps: float = 1e-5,
+    block_m: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """x + FFN(LayerNorm(x)): the full FF sub-layer of a transformer
+    block in one kernel — LN statistics, both matmuls, GEGLU, and the
+    residual add never leave VMEM."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    orig_shape = x.shape
+    d = x.shape[-1]
+    inner = w2.shape[0]
+    assert w1.shape == (d, 2 * inner), (w1.shape, d, inner)
+    m = x.size // d
+    xf = x.reshape(m, d)
+
+    bm = min(block_m, max(8, m))
+    pad = (-m) % bm
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    mp = m + pad
+
+    row = lambda a, n: a.astype(jnp.float32).reshape(1, n)
+    out = pl.pallas_call(
+        functools.partial(_ln_ffn_kernel, inner=inner, eps=eps),
+        grid=(mp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 2 * inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((inner, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, d), x.dtype),
+        interpret=interpret,
+    )(
+        xf, row(gamma, d), row(beta, d),
+        w1.astype(x.dtype), row(b1, 2 * inner), w2.astype(x.dtype), row(b2, d),
+    )
+    if pad:
+        out = out[:m]
+    return out.reshape(orig_shape)
+
+
 def _xla_baseline(x, w1, b1, w2, b2):
     """The unfused reference path exactly as ``layers.FeedForward`` runs
     it: two bf16 Dense calls with the 2*inner-wide intermediate."""
@@ -124,9 +202,22 @@ def _bench() -> None:  # pragma: no cover - manual benchmark
                 return jnp.sum(jax.lax.fori_loop(0, 200, body, x0).astype(jnp.float32))
             return run
 
+        g = jnp.asarray(1 + rng.standard_normal(d) * 0.02, jnp.float32)
+        be = jnp.asarray(rng.standard_normal(d) * 0.02, jnp.float32)
+
+        def xla_ln_ffn(xi, w1, b1, w2, b2):
+            xf = xi.astype(jnp.float32)
+            mu = xf.mean(-1, keepdims=True)
+            var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+            xn = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * g + be).astype(xi.dtype)
+            return xi + _xla_baseline(xn, w1, b1, w2, b2)
+
         for name, f in (
-            ("xla ", lambda *a: _xla_baseline(*a)),
-            ("plls", lambda *a: fused_geglu_ffn(*a)),
+            ("xla ffn   ", lambda *a: _xla_baseline(*a)),
+            ("plls ffn  ", lambda *a: fused_geglu_ffn(*a)),
+            ("xla ln+ffn", xla_ln_ffn),
+            ("plls ln+ffn",
+             lambda xi, w1, b1, w2, b2: fused_ln_geglu_ffn(xi, g, be, w1, b1, w2, b2)),
         ):
             run = chain(f)
             float(run(x))  # compile+sync
