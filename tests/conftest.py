@@ -81,9 +81,10 @@ SLOW_TESTS = {
     "test_regen_stop_flag",           # StopFlag unit tests + trainer stop-flag cover
     "test_old_attention_naming_supported",  # legacy ckpt naming; conversion stays fast
     "test_writer_interpolation",      # writer-conditioning sensitivity test stays fast
-    # round-3 pallas-ffn addition: whole-UNet parity in interpret mode
-    # (~30s); the cheap kernel-level ffn tests stay in the fast tier
+    # round-3 pallas-ffn additions: whole-UNet parity/grad in interpret
+    # mode (~30-60s each); the kernel-level ffn tests stay fast-tier
     "test_pallas_ffn_param_tree_and_output_parity",
+    "test_pallas_ffn_grad_matches_unfused",
 }
 
 

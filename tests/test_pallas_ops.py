@@ -172,3 +172,41 @@ def test_fused_gn_silu_conv3x3_matches_xla():
     # bf16 matmul operands in the kernel: tolerance at bf16 resolution
     assert np.abs(out - ref).max() < 0.05
     assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.999
+
+
+def test_fused_ffn_kernels_are_differentiable():
+    """Training differentiates through the UNet: the custom_vjp
+    (pallas forward, XLA-recompute backward) must match the unfused
+    composition's gradients."""
+    from worddiffusion_tpu.ops.ffn_pallas import (
+        _ln_ffn_reference,
+        _xla_baseline,
+        fused_geglu_ffn,
+        fused_ln_geglu_ffn,
+    )
+
+    d, inner = 32, 64
+    rng = jax.random.PRNGKey(0)
+    shapes = [(8, d), (d,), (d,), (d, 2 * inner), (2 * inner,), (inner, d), (d,)]
+    args = [
+        jax.random.normal(jax.random.fold_in(rng, i), s)
+        for i, s in enumerate(shapes)
+    ]
+    g1 = jax.grad(
+        lambda *a: jnp.sum(fused_ln_geglu_ffn(*a)), argnums=tuple(range(7))
+    )(*args)
+    g2 = jax.grad(
+        lambda *a: jnp.sum(_ln_ffn_reference(*a)), argnums=tuple(range(7))
+    )(*args)
+    for a, b in zip(g1, g2):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    a2 = args[:1] + args[3:]
+    h1 = jax.grad(
+        lambda *a: jnp.sum(fused_geglu_ffn(*a)), argnums=tuple(range(5))
+    )(*a2)
+    h2 = jax.grad(
+        lambda *a: jnp.sum(_xla_baseline(*a)), argnums=tuple(range(5))
+    )(*a2)
+    for a, b in zip(h1, h2):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -162,3 +162,26 @@ def test_pallas_ffn_param_tree_and_output_parity():
     out_off = UNet(cfg_off).apply(params, x, t, ctx, wid)
     out_on = UNet(cfg_on).apply(params, x, t, ctx, wid)
     assert np.allclose(np.asarray(out_on), np.asarray(out_off), atol=5e-4)
+
+
+def test_pallas_ffn_grad_matches_unfused():
+    """The TPU-default fused FF sub-layer must be trainable: grads via
+    the custom_vjp recompute backward match the unfused path."""
+    rng = jax.random.PRNGKey(1)
+    x, t, ctx, wid = make_inputs(rng)
+    cfg_off = tiny_cfg(use_pallas_ffn=False)
+    cfg_on = tiny_cfg(use_pallas_ffn=True)
+    params = UNet(cfg_off).init(rng, x, t, ctx, wid)
+    tgt = jax.random.normal(jax.random.fold_in(rng, 9), x.shape)
+
+    def loss(model):
+        return lambda p: jnp.mean(
+            (model.apply(p, x, t, ctx, wid) - tgt) ** 2
+        )
+
+    g_off = jax.grad(loss(UNet(cfg_off)))(params)
+    g_on = jax.grad(loss(UNet(cfg_on)))(params)
+    flat_off = jax.tree_util.tree_leaves(g_off)
+    flat_on = jax.tree_util.tree_leaves(g_on)
+    for a, b in zip(flat_off, flat_on):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=5e-4)

@@ -63,7 +63,7 @@ def _ln_ffn_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
-def fused_geglu_ffn(
+def _geglu_ffn_pallas(
     x: jax.Array,        # [..., d]
     w1: jax.Array,       # [d, 2*inner]
     b1: jax.Array,       # [2*inner]
@@ -112,7 +112,7 @@ def fused_geglu_ffn(
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "block_m", "interpret"))
-def fused_ln_geglu_ffn(
+def _ln_geglu_ffn_pallas(
     x: jax.Array,        # [..., d] residual stream
     gamma: jax.Array,    # [d] LayerNorm scale
     beta: jax.Array,     # [d] LayerNorm bias
@@ -165,6 +165,76 @@ def fused_ln_geglu_ffn(
     if pad:
         out = out[:m]
     return out.reshape(orig_shape)
+
+
+# ---------------------------------------------------------------------
+# Autodiff: pallas_call has no reverse-mode rule, and the training step
+# differentiates through the UNet. custom_vjp runs the kernel forward
+# and an XLA-recompute backward (jax.vjp of the unfused composition from
+# the saved inputs) — standard rematerialised-backward structure.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_geglu_ffn(x, w1, b1, w2, b2, block_m=512, interpret=None):
+    """FFN(x) with both GEGLU matmuls in one Pallas kernel (VMEM
+    intermediate). Differentiable via XLA-recompute backward."""
+    return _geglu_ffn_pallas(x, w1, b1, w2, b2, block_m, interpret)
+
+
+def _geglu_ffn_fwd(x, w1, b1, w2, b2, block_m, interpret):
+    return _geglu_ffn_pallas(x, w1, b1, w2, b2, block_m, interpret), (
+        x, w1, b1, w2, b2,
+    )
+
+
+def _geglu_ffn_bwd(block_m, interpret, res, g):
+    _, vjp = jax.vjp(_xla_baseline, *res)
+    return vjp(g)
+
+
+fused_geglu_ffn.defvjp(_geglu_ffn_fwd, _geglu_ffn_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_ln_geglu_ffn(
+    x, gamma, beta, w1, b1, w2, b2, eps=1e-5, block_m=512, interpret=None
+):
+    """x + FFN(LayerNorm(x)) as one Pallas kernel (see
+    ``_ln_ffn_kernel``). Differentiable via XLA-recompute backward."""
+    return _ln_geglu_ffn_pallas(
+        x, gamma, beta, w1, b1, w2, b2, eps, block_m, interpret
+    )
+
+
+def _ln_ffn_reference(x, gamma, beta, w1, b1, w2, b2, eps=1e-5):
+    """Unfused composition with the kernel's dtype contract (f32 LN and
+    residual, bf16 matmul operands) — the backward-pass recompute."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = (
+        (xf - mu) * jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32)
+        + beta.astype(jnp.float32)
+    ).astype(x.dtype)
+    y = _xla_baseline(xn, w1, b1, w2, b2)
+    return (xf + y.astype(jnp.float32)).astype(x.dtype)
+
+
+def _ln_ffn_fwd(x, gamma, beta, w1, b1, w2, b2, eps, block_m, interpret):
+    out = _ln_geglu_ffn_pallas(
+        x, gamma, beta, w1, b1, w2, b2, eps, block_m, interpret
+    )
+    return out, (x, gamma, beta, w1, b1, w2, b2)
+
+
+def _ln_ffn_bwd(eps, block_m, interpret, res, g):
+    _, vjp = jax.vjp(
+        functools.partial(_ln_ffn_reference, eps=eps), *res
+    )
+    return vjp(g)
+
+
+fused_ln_geglu_ffn.defvjp(_ln_ffn_fwd, _ln_ffn_bwd)
 
 
 def _xla_baseline(x, w1, b1, w2, b2):
