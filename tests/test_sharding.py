@@ -56,3 +56,39 @@ def test_param_sharding_tp_axes():
     sh = param_sharding(params, mesh)
     assert "model" in str(sh["attn"]["to_q"]["kernel"].spec)
     assert sh["conv"]["kernel"].spec == jax.sharding.PartitionSpec()
+
+
+def test_pallas_ffn_partitions_without_gathers():
+    """The fused FF kernel's SdyShardingRule must let a dp-sharded batch
+    stay sharded: no all-gathers in the compiled program, sharded output
+    and gradient. (A bare pallas_call would replicate every operand.)"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from worddiffusion_tpu.ops.ffn_pallas import (
+        _ln_ffn_reference,
+        fused_ln_geglu_ffn,
+    )
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    d, inner, m = 64, 128, 512
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (m, d))
+    shapes = [(d,), (d,), (d, 2 * inner), (2 * inner,), (inner, d), (d,)]
+    args = [
+        0.05 * jax.random.normal(jax.random.fold_in(rng, i), s)
+        for i, s in enumerate(shapes)
+    ]
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+
+    f = jax.jit(lambda x, *a: fused_ln_geglu_ffn(x, *a, block_m=64))
+    hlo = f.lower(xs, *args).compile().as_text()
+    assert hlo.count("all-gather") == 0
+    out = f(xs, *args)
+    assert out.sharding.spec == P("data")
+    ref = _ln_ffn_reference(x, *args)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+    g = jax.jit(
+        jax.grad(lambda x, *a: jnp.sum(fused_ln_geglu_ffn(x, *a, block_m=64)))
+    )(xs, *args)
+    assert g.sharding.spec == P("data")
