@@ -25,15 +25,17 @@ if [ -z "$(ls runs/vae_syn/ckpt 2>/dev/null)" ]; then
       --batch_size 16 --save_every_epochs 50 --save_dir runs/vae_syn
 fi
 
-echo "=== 3. Latent cache -> flagship latent DDPM ==="
-python -m worddiffusion_tpu.cli.build_latent_cache --synthetic 1 \
-    --vocab_size 10 --samples_per_word 128 \
-    --vae_ckpt runs/vae_syn/ckpt --out runs/latents_demo.npz
-python -m worddiffusion_tpu.cli.train --preset iam --synthetic 1 \
-    --vocab_size 10 --samples_per_word 128 --latent 1 \
-    --latent_cache runs/latents_demo.npz --vae_ckpt runs/vae_syn/ckpt \
-    --epochs 1000 --batch_size 128 --ckpt_every_epochs 200 \
-    --save_path runs/demo_latent
+if [ ! -e runs/demo_latent/ckpt/10000 ]; then
+  echo "=== 3. Latent cache -> flagship latent DDPM ==="
+  python -m worddiffusion_tpu.cli.build_latent_cache --synthetic 1 \
+      --vocab_size 10 --samples_per_word 128 \
+      --vae_ckpt runs/vae_syn/ckpt --out runs/latents_demo.npz
+  python -m worddiffusion_tpu.cli.train --preset iam --synthetic 1 \
+      --vocab_size 10 --samples_per_word 128 --latent 1 \
+      --latent_cache runs/latents_demo.npz --vae_ckpt runs/vae_syn/ckpt \
+      --epochs 1000 --batch_size 128 --ckpt_every_epochs 200 \
+      --save_path runs/demo_latent
+fi
 
 echo "=== 3b. Regen gt file + real-render comparison set ==="
 python - <<'PYEOF'
@@ -97,8 +99,9 @@ def fill(dst, src_dir, files):
     for f in files:
         os.link(os.path.join(src_dir, f), os.path.join(dst, f))
 
-fill("runs/fid_floor_a", real_dir, real[:n])
-fill("runs/fid_floor_b", real_dir, real[n:2 * n])
+half = min(n, len(real) // 2)  # disjoint halves cap at len(real)/2
+fill("runs/fid_floor_a", real_dir, real[:half])
+fill("runs/fid_floor_b", real_dir, real[half:2 * half])
 unfilt = sorted(acc + rej)[: n]
 shutil.rmtree("runs/fid_unfilt", ignore_errors=True)
 os.makedirs("runs/fid_unfilt")

@@ -148,18 +148,42 @@ def main(argv=None) -> None:
         results["ocr_exact_match"] = hits / max(len(fake), 1)
 
     if phosc_fn is not None:
+        from ..data.phosc import phosc_vector
         from ..eval.zsl import zsl_accuracy
 
-        def phosc_batches():
-            for s in range(0, len(fake), args.batch_size):
-                chunk = fake[s : s + args.batch_size]
-                yield phosc_resize(chunk), fake_words[s : s + len(chunk)]
+        # Filename-derived words are only usable for ZSL when every
+        # character has a PHOS entry — comparison sets of bare real
+        # renders (e.g. the FID noise-floor halves, named syn-00000.png)
+        # have no word suffix, so the metric is skipped for them rather
+        # than crashing on the fake "word".
+        def _embeddable(w: str) -> bool:
+            try:
+                phosc_vector(w, args.language)
+                return True
+            except KeyError:
+                return False
 
-        acc, by_len = zsl_accuracy(
-            lambda im: phosc_fn(jnp.asarray(im)), phosc_batches(),
-            list(dict.fromkeys(fake_words)), args.language,
-        )
-        results["phosc_zsl_accuracy"] = acc
+        keep = [i for i, w in enumerate(fake_words) if _embeddable(w)]
+        if keep:
+            vfake = fake[keep]
+            vwords = [fake_words[i] for i in keep]
+
+            def phosc_batches():
+                for s in range(0, len(vfake), args.batch_size):
+                    chunk = vfake[s : s + args.batch_size]
+                    yield phosc_resize(chunk), vwords[s : s + len(chunk)]
+
+            acc, by_len = zsl_accuracy(
+                lambda im: phosc_fn(jnp.asarray(im)), phosc_batches(),
+                list(dict.fromkeys(vwords)), args.language,
+            )
+            results["phosc_zsl_accuracy"] = acc
+            if len(keep) < len(fake_words):
+                results["phosc_zsl_n"] = len(keep)
+        else:
+            results["phosc_zsl_note"] = (
+                "no PHOS-embeddable filename words; ZSL skipped"
+            )
 
     print(json.dumps(results))
     if args.out:
