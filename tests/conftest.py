@@ -85,6 +85,7 @@ SLOW_TESTS = {
     # mode (~30-60s each); the kernel-level ffn tests stay fast-tier
     "test_pallas_ffn_param_tree_and_output_parity",
     "test_pallas_ffn_grad_matches_unfused",
+    "test_train_step_tp_mesh_with_pallas_ffn",
 }
 
 

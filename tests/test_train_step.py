@@ -140,3 +140,30 @@ def test_ctc_aux_loss():
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert "ctc" in metrics and np.isfinite(float(metrics["ctc"]))
     assert float(metrics["loss"]) > float(metrics["mse"])
+
+
+def test_train_step_tp_mesh_with_pallas_ffn():
+    """The fused FF kernel's partitioning rule must compose with the
+    full dp x tp train step (custom_vjp + custom_partitioning under a
+    GSPMD jit with TP-sharded GEGLU weights)."""
+    exp = tiny_exp(use_pallas_ffn=True)
+    model, tx, state = _init_state(exp)
+    sched = NoiseSchedule.linear(50)
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    step = jit_train_step(make_train_step(model, sched, exp, tx), mesh, state)
+    from worddiffusion_tpu.parallel.mesh import param_sharding, replicated
+
+    state = state.replace(
+        params=jax.device_put(state.params, param_sharding(state.params, mesh)),
+        ema_params=jax.device_put(
+            state.ema_params, param_sharding(state.ema_params, mesh)
+        ),
+        opt_state=jax.device_put(
+            state.opt_state,
+            jax.tree_util.tree_map(lambda _: replicated(mesh), state.opt_state),
+        ),
+        step=jax.device_put(state.step, replicated(mesh)),
+    )
+    batch = shard_batch(make_batch(8), mesh)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
