@@ -87,7 +87,11 @@ import collections, os, random, shutil
 acc_dir, rej_dir, real_dir = "runs/regen_ddim", "runs/regen_ddim/rejected", "runs/real_demo"
 word_of = lambda f: f.rsplit("_", 1)[-1].removesuffix(".png")
 acc = sorted(f for f in os.listdir(acc_dir) if f.endswith(".png"))
-rej = sorted(f for f in os.listdir(rej_dir) if f.endswith(".png"))
+# a resumed regen can re-attempt a previously-rejected crop and accept
+# it: the name then exists in both dirs — the accepted copy wins
+rej = sorted(
+    f for f in os.listdir(rej_dir) if f.endswith(".png") and f not in set(acc)
+)
 real = sorted(f for f in os.listdir(real_dir) if f.endswith(".png"))
 n = len(acc)
 rng = random.Random(0)
@@ -132,7 +136,7 @@ $EV --real_dir runs/fid_floor_a --fake_dir runs/fid_floor_b \
 $EV --real_dir runs/real_demo --fake_dir runs/regen_ddim \
     --ocr_ckpt runs/ocr_syn/ckpt --out runs/eval_fid_filtered.json
 $EV --real_dir runs/real_demo --fake_dir runs/fid_unfilt \
-    --out runs/eval_fid_unfilt210.json
+    --out runs/eval_fid_unfilt.json
 $EV --real_dir runs/real_demo --fake_dir runs/fid_acc_bal \
     --out runs/eval_fid_accbal.json
 $EV --real_dir runs/real_demo --fake_dir runs/fid_rej_bal \

@@ -86,8 +86,10 @@ class UNetConfig:
     use_pallas_groupnorm: bool = False
     # Fused GEGLU feed-forward (the one adopted Pallas kernel: keeps the
     # 2560-wide FF intermediate in VMEM; see ops/ffn_pallas.py).
-    # None = auto: on when the backend is TPU, off elsewhere (CPU runs
-    # would pay interpret-mode cost for no benefit).
+    # None = auto: on when the backend is TPU (sampling/inference wins
+    # ~3%), off on CPU (interpret mode) and off inside Trainer (the
+    # XLA-recompute backward costs ~3% on the train step — measured in
+    # BENCHMARKS.md round 3). Explicit True/False overrides everywhere.
     use_pallas_ffn: bool | None = None
 
 

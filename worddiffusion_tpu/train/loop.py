@@ -10,6 +10,7 @@ checkpoint (``--loadPrev``).
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import time
 from typing import Callable, Optional
@@ -55,7 +56,17 @@ class Trainer:
         self.schedule = NoiseSchedule.linear(
             exp.diffusion.num_steps, exp.diffusion.beta_start, exp.diffusion.beta_end
         )
-        self.model = model if model is not None else UNet(exp.unet)
+        if model is not None:
+            self.model = model
+        else:
+            unet_cfg = exp.unet
+            if unet_cfg.use_pallas_ffn is None:
+                # auto resolves OFF for training: the fused FF kernel
+                # wins ~3% on sampling but its XLA-recompute backward
+                # costs ~3% on the train step (measured idle, B=128;
+                # BENCHMARKS.md round-3 table). Explicit True overrides.
+                unet_cfg = dataclasses.replace(unet_cfg, use_pallas_ffn=False)
+            self.model = UNet(unet_cfg)
         self.tx = make_optimizer(exp.train.lr, exp.train.weight_decay)
         self.ckpt = CheckpointManager(f"{exp.train.save_path}/ckpt")
         self.stop = StopFlag(exp.train.stop_flag_file)
