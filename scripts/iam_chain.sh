@@ -11,18 +11,22 @@ set -e
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 
-if [ -z "$(ls runs/ocr_syn/ckpt 2>/dev/null)" ]; then
+# stage guards check a completion marker (an interrupted training run
+# leaves a non-empty ckpt dir — that alone must not skip the stage)
+if [ ! -e runs/ocr_syn/.done ]; then
   echo "=== 1. Frozen CTC recognizer (the filter) ==="
   python -m worddiffusion_tpu.cli.train_ocr --synthetic 1 \
       --vocab_size 100 --samples_per_word 24 --eval_renders 4 \
       --epochs 60 --batch_size 64 --lr 1e-3 --save_dir runs/ocr_syn
+  touch runs/ocr_syn/.done
 fi
 
-if [ -z "$(ls runs/vae_syn/ckpt 2>/dev/null)" ]; then
+if [ ! -e runs/vae_syn/.done ]; then
   echo "=== 2. Frozen latent codec (in-repo VAE) ==="
   python -m worddiffusion_tpu.cli.train_vae --synthetic 1 \
       --vocab_size 100 --samples_per_word 8 --epochs 200 \
       --batch_size 16 --save_every_epochs 50 --save_dir runs/vae_syn
+  touch runs/vae_syn/.done
 fi
 
 if [ ! -e runs/demo_latent/ckpt/10000 ]; then
@@ -87,10 +91,11 @@ import collections, os, random, shutil
 acc_dir, rej_dir, real_dir = "runs/regen_ddim", "runs/regen_ddim/rejected", "runs/real_demo"
 word_of = lambda f: f.rsplit("_", 1)[-1].removesuffix(".png")
 acc = sorted(f for f in os.listdir(acc_dir) if f.endswith(".png"))
+acc_set = set(acc)
 # a resumed regen can re-attempt a previously-rejected crop and accept
 # it: the name then exists in both dirs — the accepted copy wins
 rej = sorted(
-    f for f in os.listdir(rej_dir) if f.endswith(".png") and f not in set(acc)
+    f for f in os.listdir(rej_dir) if f.endswith(".png") and f not in acc_set
 )
 real = sorted(f for f in os.listdir(real_dir) if f.endswith(".png"))
 n = len(acc)
@@ -110,7 +115,7 @@ unfilt = sorted(acc + rej)[: n]
 shutil.rmtree("runs/fid_unfilt", ignore_errors=True)
 os.makedirs("runs/fid_unfilt")
 for f in unfilt:
-    src = acc_dir if f in set(acc) else rej_dir
+    src = acc_dir if f in acc_set else rej_dir
     os.link(os.path.join(src, f), os.path.join("runs/fid_unfilt", f))
 ha = collections.Counter(word_of(f) for f in acc)
 hr = collections.Counter(word_of(f) for f in rej)

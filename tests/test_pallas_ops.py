@@ -210,3 +210,36 @@ def test_fused_ffn_kernels_are_differentiable():
     )(*a2)
     for a, b in zip(h1, h2):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_ffn_vmem_block_picker():
+    from worddiffusion_tpu.ops.ffn_pallas import fits_vmem, pick_block_m
+
+    # flagship shape fits at the full tile
+    assert pick_block_m(320, 1280, m=32768) == 512
+    # a 2x-wide transformer still fits at a reduced tile
+    bm = pick_block_m(640, 2560, m=32768)
+    assert bm is not None and bm < 512
+    assert fits_vmem(640, 2560)
+    # absurd width: no tile fits -> model layer must fall back
+    assert pick_block_m(8192, 32768, m=1024) is None
+    assert not fits_vmem(8192, 32768)
+
+
+def test_ffn_dropout_model_fuses_at_inference():
+    """A dropout>0 model must still take the (numerically inert) fused
+    path when deterministic=True — and must NOT diverge from the
+    unfused path there."""
+    from worddiffusion_tpu.models.attention import BasicTransformerBlock
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 64, 32))
+    ctx = jax.random.normal(jax.random.fold_in(rng, 1), (2, 5, 32))
+    mk = lambda pallas: BasicTransformerBlock(
+        dim=32, n_heads=4, d_head=8, context_dim=32, dropout=0.1,
+        dtype=jnp.float32, use_pallas_ffn=pallas,
+    )
+    params = mk(False).init(rng, x, ctx, True)
+    out_off = mk(False).apply(params, x, ctx, True)
+    out_on = mk(True).apply(params, x, ctx, True)
+    assert np.allclose(np.asarray(out_on), np.asarray(out_off), atol=5e-5)

@@ -151,19 +151,38 @@ def main(argv=None) -> None:
         from ..data.phosc import phosc_vector
         from ..eval.zsl import zsl_accuracy
 
+        # Distinguish "this language has no PHOS tables" (e.g. cvl —
+        # true in the reference too) from "no embeddable words": probe
+        # the version itself first and report it by name.
+        try:
+            phosc_vector("a", args.language)
+            version_ok = True
+        except KeyError:
+            version_ok = False
+            results["phosc_zsl_note"] = (
+                f"no PHOS tables for language '{args.language}'; ZSL skipped"
+            )
+
         # Filename-derived words are only usable for ZSL when every
         # character has a PHOS entry — comparison sets of bare real
         # renders (e.g. the FID noise-floor halves, named syn-00000.png)
         # have no word suffix, so the metric is skipped for them rather
-        # than crashing on the fake "word".
-        def _embeddable(w: str) -> bool:
-            try:
-                phosc_vector(w, args.language)
-                return True
-            except KeyError:
-                return False
+        # than crashing on the fake "word". Memoised per unique word.
+        _cache: dict[str, bool] = {}
 
-        keep = [i for i, w in enumerate(fake_words) if _embeddable(w)]
+        def _embeddable(w: str) -> bool:
+            if w not in _cache:
+                try:
+                    phosc_vector(w, args.language)
+                    _cache[w] = True
+                except KeyError:
+                    _cache[w] = False
+            return _cache[w]
+
+        keep = (
+            [i for i, w in enumerate(fake_words) if _embeddable(w)]
+            if version_ok else []
+        )
         if keep:
             vfake = fake[keep]
             vwords = [fake_words[i] for i in keep]
@@ -180,7 +199,7 @@ def main(argv=None) -> None:
             results["phosc_zsl_accuracy"] = acc
             if len(keep) < len(fake_words):
                 results["phosc_zsl_n"] = len(keep)
-        else:
+        elif version_ok:
             results["phosc_zsl_note"] = (
                 "no PHOS-embeddable filename words; ZSL skipped"
             )

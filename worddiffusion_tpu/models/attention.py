@@ -169,12 +169,21 @@ class BasicTransformerBlock(nn.Module):
             x = x + attn2(ln("norm2")(x).astype(self.dtype), context, deterministic)
 
         norm3 = ln("norm3")
-        if self.use_pallas_ffn and self.dropout == 0.0:
+        from ..ops.ffn_pallas import fits_vmem, fused_ln_geglu_ffn
+
+        # Fused path needs inert dropout (rate 0 or deterministic
+        # inference) and feature dims whose working set fits VMEM;
+        # otherwise fall back to the numerically-identical unfused path.
+        use_fused = (
+            self.use_pallas_ffn
+            and (self.dropout == 0.0 or deterministic)
+            and fits_vmem(self.dim, 4 * self.dim)
+        )
+        if use_fused:
             # Whole FF sub-layer (LN + GEGLU matmul chain + residual) as
             # one Pallas kernel. The unfused modules are still declared
             # with dummy rows (dead code under jit) so the param tree —
             # and therefore checkpoint interop — is identical.
-            from ..ops.ffn_pallas import fused_ln_geglu_ffn
 
             norm3(jnp.zeros((1, self.dim), jnp.float32))
             ff(jnp.zeros((1, 1, self.dim), self.dtype), deterministic)

@@ -62,6 +62,80 @@ def _ln_ffn_kernel(
     o_ref[:] = (xf + y).astype(o_ref.dtype)
 
 
+def _dtype_bytes(dt) -> int:
+    return jnp.dtype(dt).itemsize
+
+
+def pick_block_m(d: int, inner: int, m: int, block_m: int = 512,
+                 dtype_bytes: int = 2) -> int | None:
+    """Largest row tile (<= block_m) whose VMEM working set fits.
+
+    Budget per program: both weight matrices (resident across the grid)
+    + double-buffered x/out tiles + the f32 [bm, 2*inner] intermediate
+    + the bf16 activation. Returns None when even the minimum tile
+    exceeds the budget — caller must fall back to the unfused path.
+    The flagship shape (d=320, inner=1280, bm=512) uses ~10.5 MB."""
+    weights = (d * 2 * inner + inner * d) * dtype_bytes + (2 * inner + d) * 4
+    budget = 14 * 1024 * 1024  # leave headroom under the ~16 MB VMEM
+    bm = min(block_m, max(8, m))
+    while bm >= 8:
+        tiles = (
+            2 * bm * d * dtype_bytes * 2      # x + out, double-buffered
+            + bm * 2 * inner * 4              # f32 GEGLU intermediate
+            + bm * inner * dtype_bytes        # gated activation
+        )
+        if weights + tiles <= budget:
+            return bm
+        bm //= 2
+    return None
+
+
+def fits_vmem(d: int, inner: int, dtype_bytes: int = 2) -> bool:
+    """True when the fused kernel can run at some row tile for these
+    feature dims — the model layer's guard before choosing the fused
+    path (falls back to unfused XLA when False)."""
+    return pick_block_m(d, inner, m=8, dtype_bytes=dtype_bytes) is not None
+
+
+def _run_ffn_pallas(kernel, x, inner, weight_args, block_m, interpret):
+    """Shared scaffold: flatten to [M, d], pad to the VMEM-fitted row
+    tile, run the kernel with weights on constant index maps, unpad."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    orig_shape = x.shape
+    d = x.shape[-1]
+    m = x.size // d
+    xf = x.reshape(m, d)
+
+    bm = pick_block_m(d, inner, m, block_m, _dtype_bytes(x.dtype))
+    if bm is None:
+        raise ValueError(
+            f"fused FFN does not fit VMEM at d={d}, inner={inner}; "
+            "guard call sites with ffn_pallas.fits_vmem()"
+        )
+    pad = (-m) % bm
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    mp = m + pad
+
+    operands = [xf] + list(weight_args)
+    in_specs = [pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM)] + [
+        pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for a in weight_args
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(mp // bm,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, d), x.dtype),
+        interpret=interpret,
+    )(*operands)
+    if pad:
+        out = out[:m]
+    return out.reshape(orig_shape)
+
+
 def _geglu_ffn_pallas(
     x: jax.Array,        # [..., d]
     w1: jax.Array,       # [d, 2*inner]
@@ -71,43 +145,21 @@ def _geglu_ffn_pallas(
     block_m: int = 512,
     interpret: bool | None = None,
 ) -> jax.Array:
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    orig_shape = x.shape
     d = x.shape[-1]
     inner = w2.shape[0]
     assert w1.shape == (d, 2 * inner), (w1.shape, d, inner)
-    m = x.size // d
-    xf = x.reshape(m, d)
-
-    bm = min(block_m, max(8, m))
-    pad = (-m) % bm
-    if pad:
-        xf = jnp.pad(xf, ((0, pad), (0, 0)))
-    mp = m + pad
-
-    w1c = w1.astype(x.dtype)
-    w2c = w2.astype(x.dtype)
-    b1c = b1.astype(jnp.float32).reshape(1, 2 * inner)
-    b2c = b2.astype(jnp.float32).reshape(1, d)
-
-    out = pl.pallas_call(
+    row = lambda a, n: a.astype(jnp.float32).reshape(1, n)
+    return _run_ffn_pallas(
         functools.partial(_ffn_kernel, inner=inner),
-        grid=(mp // bm,),
-        in_specs=[
-            pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 2 * inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((inner, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, d), x.dtype),
-        interpret=interpret,
-    )(xf, w1c, b1c, w2c, b2c)
-    if pad:
-        out = out[:m]
-    return out.reshape(orig_shape)
+        x,
+        inner,
+        (
+            w1.astype(x.dtype), row(b1, 2 * inner),
+            w2.astype(x.dtype), row(b2, d),
+        ),
+        block_m,
+        interpret,
+    )
 
 
 def _ln_geglu_ffn_pallas(
@@ -125,44 +177,22 @@ def _ln_geglu_ffn_pallas(
     """x + FFN(LayerNorm(x)): the full FF sub-layer of a transformer
     block in one kernel — LN statistics, both matmuls, GEGLU, and the
     residual add never leave VMEM."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    orig_shape = x.shape
     d = x.shape[-1]
     inner = w2.shape[0]
     assert w1.shape == (d, 2 * inner), (w1.shape, d, inner)
-    m = x.size // d
-    xf = x.reshape(m, d)
-
-    bm = min(block_m, max(8, m))
-    pad = (-m) % bm
-    if pad:
-        xf = jnp.pad(xf, ((0, pad), (0, 0)))
-    mp = m + pad
-
     row = lambda a, n: a.astype(jnp.float32).reshape(1, n)
-    out = pl.pallas_call(
+    return _run_ffn_pallas(
         functools.partial(_ln_ffn_kernel, inner=inner, eps=eps),
-        grid=(mp // bm,),
-        in_specs=[
-            pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 2 * inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((inner, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, d), x.dtype),
-        interpret=interpret,
-    )(
-        xf, row(gamma, d), row(beta, d),
-        w1.astype(x.dtype), row(b1, 2 * inner), w2.astype(x.dtype), row(b2, d),
+        x,
+        inner,
+        (
+            row(gamma, d), row(beta, d),
+            w1.astype(x.dtype), row(b1, 2 * inner),
+            w2.astype(x.dtype), row(b2, d),
+        ),
+        block_m,
+        interpret,
     )
-    if pad:
-        out = out[:m]
-    return out.reshape(orig_shape)
 
 
 # ---------------------------------------------------------------------
