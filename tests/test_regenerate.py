@@ -82,6 +82,47 @@ def test_regen_skip_schedule_and_deterministic(tmp_path):
     assert np.array_equal(imgs1, imgs2)
 
 
+def test_regen_filter_accept_reject_fake_sampler(tmp_path):
+    """Compile-free accept/reject coverage (fast tier): a duck-typed
+    sampler returns fixed uint8 images with no UNet compile, and a host
+    OCR stub that always spells 'the' accepts exactly the 'the' samples;
+    everything else lands in rejected/ (regenerateFromtrain2.py:929-967).
+    The full compiled-path siblings (test_regen_ocr_filter_rejects,
+    test_regen_fused_ocr_accepts_matching_word) run in the slow tier."""
+    import jax.numpy as jnp
+
+    from worddiffusion_tpu.data.alphabets import OCR_ENG
+
+    exp = pixel_exp()
+
+    class FakeSampler:
+        def __init__(self):
+            self.exp = exp
+
+        def sample_async(self, words, wids, rng, phosc=None):
+            b = len(words)
+            return np.full((b, 16, 32, 3), 200, np.uint8)
+
+    t_id, h_id, e_id = (OCR_ENG.index(c) for c in "the")
+
+    def spell_the(imgs):
+        logits = jnp.full((imgs.shape[0], 4, len(OCR_ENG)), -10.0, jnp.float32)
+        for frame, cid in enumerate([t_id, h_id, e_id]):
+            logits = logits.at[:, frame, cid].set(10.0)
+        return logits.at[:, 3, 0].set(10.0)  # trailing blank
+
+    regen = Regenerator(
+        FakeSampler(), ocr_apply=spell_the, out_dir=str(tmp_path / "out"),
+        keep_rejected=True,
+    )
+    stats = regen.run(corpus(), batch_size=4)
+    # corpus() is ["the","of","and","hand"] * 2 -> exactly the two 'the'
+    assert stats.generated == 8 and stats.accepted == 2
+    accepted = [f for f in os.listdir(tmp_path / "out") if f.endswith(".png")]
+    assert sorted(accepted) == ["img-000_0_the.png", "img-004_1_the.png"]
+    assert len(os.listdir(tmp_path / "out" / "rejected")) == 6
+
+
 def test_regen_ocr_filter_rejects(tmp_path):
     # an OCR stub that always reads "wrong" -> nothing accepted
     exp = pixel_exp()
