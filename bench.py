@@ -21,8 +21,17 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import tempfile
 import time
+
+
+def _log(msg: str) -> None:
+    """Stage progress on stderr (stdout stays the one JSON line)."""
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
 
 
 def _best_of(run, rng_fold, x, reps=3):
@@ -35,6 +44,31 @@ def _best_of(run, rng_fold, x, reps=3):
         jax.block_until_ready(run(rng_fold(i), x))
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def _fast_init(init_fn, *args):
+    """Random params WITHOUT per-initializer XLA programs.
+
+    ``model.init`` dispatches one tiny compiled program per parameter;
+    through the axon tunnel the three models' inits cost ~6 minutes of
+    pure compile round-trips (measured: 366 s to the first bench stage).
+    The benchmark times throughput of random weights, so the initializer
+    distribution is irrelevant — trace shapes with ``jax.eval_shape``
+    (no compiles) and fill on host with numpy."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    shapes = jax.eval_shape(init_fn, *args)
+    rng = np.random.default_rng(0)
+
+    def fill(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            a = rng.standard_normal(leaf.shape, dtype=np.float32) * 0.02
+            return jnp.asarray(a, leaf.dtype)
+        return jnp.zeros(leaf.shape, leaf.dtype)
+
+    return jax.tree_util.tree_map(fill, shapes)
 
 
 def main() -> None:
@@ -64,14 +98,16 @@ def main() -> None:
     x = jax.random.normal(rng, (BATCH, 8, 32, 4), jnp.float32)
     ctx = jax.random.randint(rng, (BATCH, exp.data.max_chars), 0, 53)
     wid = jnp.ones((BATCH,), jnp.int32)
-    params = model.init(rng, x[:1], jnp.zeros((1,), jnp.int32), ctx[:1], wid[:1])
+    params = _fast_init(
+        model.init, rng, x[:1], jnp.zeros((1,), jnp.int32), ctx[:1], wid[:1]
+    )
 
     vae = AutoencoderKL(exp.vae)
-    vae_params = vae.init(
-        rng, jnp.zeros((1, 64, 256, 3), jnp.float32), jax.random.PRNGKey(0)
+    vae_params = _fast_init(
+        vae.init, rng, jnp.zeros((1, 64, 256, 3), jnp.float32), jax.random.PRNGKey(0)
     )
     ocr = CTCRecognizer(num_classes=len(OCR_ENG))
-    ocr_vars = ocr.init(rng, jnp.zeros((1, 64, 256, 1), jnp.float32))
+    ocr_vars = _fast_init(ocr.init, rng, jnp.zeros((1, 64, 256, 1), jnp.float32))
 
     fold = lambda i: jax.random.fold_in(rng, i)
     s600 = NoiseSchedule.linear(600)
@@ -89,8 +125,10 @@ def main() -> None:
             r, xi, stochastic=False, call_mask=mask,
         )
 
+    _log("models initialised; compiling skip-step sampler")
     sampler_run = lambda r, xi: sampler_run_p(params, r, xi)
     dt_sampler = _best_of(sampler_run, fold, x)
+    _log(f"sampler-alone done ({128 / dt_sampler:.1f} imgs/s); compiling full pipeline")
     sampler_ips = BATCH / dt_sampler / jax.device_count()
 
     # 2) FULL pipeline: sampler -> VAE decode -> OCR logits on device;
@@ -124,6 +162,7 @@ def main() -> None:
 
     # warmup/compile
     jax.block_until_ready(pipeline_run(fold(100), x)[0])
+    _log("pipeline compiled; timing")
     N = 4
     pending = None
     t0 = time.perf_counter()
@@ -149,6 +188,7 @@ def main() -> None:
             s1000, lambda xx, tt: model.apply(p, xx, tt, ctx, wid), r, xi
         )
 
+    _log(f"pipeline done ({BATCH / dt_pipe:.1f} imgs/s); compiling full-1000 DDPM")
     full_run = lambda r, xi: full_run_p(params, r, xi)
     dt_full = _best_of(full_run, fold, x, reps=2)
     full_ips = BATCH / dt_full / jax.device_count()
