@@ -128,7 +128,7 @@ def main() -> None:
     _log("models initialised; compiling skip-step sampler")
     sampler_run = lambda r, xi: sampler_run_p(params, r, xi)
     dt_sampler = _best_of(sampler_run, fold, x)
-    _log(f"sampler-alone done ({128 / dt_sampler:.1f} imgs/s); compiling full pipeline")
+    _log(f"sampler-alone done ({BATCH / dt_sampler:.1f} imgs/s); compiling full pipeline")
     sampler_ips = BATCH / dt_sampler / jax.device_count()
 
     # 2) FULL pipeline: sampler -> VAE decode -> OCR logits on device;

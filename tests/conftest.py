@@ -17,9 +17,10 @@ jax.config.update("jax_num_cpu_devices", 8)
 # are deselected by default (pyproject addopts). `pytest -m slow` runs
 # just them; `pytest -m ""` runs everything. All tiers must stay green.
 SLOW_TESTS = {
-    # (test_regen_ocr_filter_rejects stays FAST: the fast tier must keep
-    # at least one accept/reject OCR-filter test — its sibling
-    # test_regen_fused_ocr_accepts_matching_word is slow-tier)
+    # (fast-tier accept/reject OCR-filter coverage lives in
+    # test_regen_filter_accept_reject_fake_sampler; the compiled-path
+    # siblings test_regen_ocr_filter_rejects and
+    # test_regen_fused_ocr_accepts_matching_word are slow-tier)
     "test_forward_shape_wordstylist_variant",
     "test_diffusers_conversion_loads_and_runs",
     "test_style_vec_sampling",
@@ -92,8 +93,8 @@ SLOW_TESTS = {
     # test costs 10-35s). Behaviours keep fast compile-free siblings:
     "test_regen_ocr_filter_rejects",   # 36s; accept/reject + rejected/ dir
     #   covered fast by test_regen_filter_accept_reject_fake_sampler
-    "test_char_images_sampling",       # 11s; glyph-conditioning covered by
-    #   slow-tier CLI round-trip + test_char_image_conditioning
+    "test_char_images_sampling",       # 11s; glyph-conditioning coverage is
+    #   slow-tier only (CLI round-trip + test_char_image_conditioning)
 }
 
 

@@ -109,7 +109,7 @@ def test_regen_filter_accept_reject_fake_sampler(tmp_path):
         logits = jnp.full((imgs.shape[0], 4, len(OCR_ENG)), -10.0, jnp.float32)
         for frame, cid in enumerate([t_id, h_id, e_id]):
             logits = logits.at[:, frame, cid].set(10.0)
-        return logits.at[:, 3, 0].set(10.0)  # trailing blank
+        return logits.at[:, 3, OCR_ENG.index("_")].set(10.0)  # trailing CTC blank
 
     regen = Regenerator(
         FakeSampler(), ocr_apply=spell_the, out_dir=str(tmp_path / "out"),
