@@ -431,8 +431,10 @@ def test_sample_interpolation_flags():
          "--mix_rate", "0.25"]
     )
     assert args.writer2 == 3 and args.mix_rate == 0.25
-    # default: interpolation off
-    assert build_parser().parse_args(["--ckpt_dir", "x"]).writer2 == -1
+    # defaults: interpolation off; mix negative = per-sample uniform
+    # draws, the reference gt-file distribution (full_sampling.py:150)
+    defaults = build_parser().parse_args(["--ckpt_dir", "x"])
+    assert defaults.writer2 == -1 and defaults.mix_rate < 0
 
 
 def test_sample_img_conditioned_flags():

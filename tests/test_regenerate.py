@@ -69,6 +69,40 @@ def test_regen_resumable(tmp_path):
     assert stats.generated == 4
 
 
+def test_regen_resumes_across_prior_dump_dirs(tmp_path):
+    """Dump-folder history (regenerateFromtrain2.py:676-704): crops
+    found in *previous* dump folders are skipped even when the current
+    out_dir is fresh. Compile-free: resumption decides before sampling,
+    so a batch_size covering only the remainder never calls the model."""
+    from worddiffusion_tpu.utils.images import regen_filename
+
+    samples = corpus()
+    prior1 = tmp_path / "old_run_a"
+    prior2 = tmp_path / "old_run_b"
+    for d, sl in ((prior1, samples[:2]), (prior2, samples[2:4])):
+        d.mkdir()
+        for s in sl:
+            (d / regen_filename(s.image, s.writer, s.word)).write_bytes(b"png")
+
+    exp = pixel_exp()
+
+    class FakeSampler:  # duck-typed, no UNet compile (fast tier)
+        def __init__(self):
+            self.exp = exp
+
+        def sample_async(self, words, wids, rng, phosc=None):
+            return np.full((len(words), 16, 32, 3), 200, np.uint8)
+
+    regen = Regenerator(
+        FakeSampler(), out_dir=str(tmp_path / "fresh"),
+        prior_dirs=[str(prior1), str(tmp_path / "old_run_*b")],  # path + glob
+    )
+    stats = regen.run(samples, batch_size=4)
+    assert stats.skipped_existing == 4
+    assert stats.generated == 4
+    assert len(os.listdir(tmp_path / "fresh")) == 4
+
+
 def test_regen_skip_schedule_and_deterministic(tmp_path):
     exp = pixel_exp(steps=20)
     mask = regen_call_mask(20, epoch=0)

@@ -19,6 +19,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="writers_dict_train.json from training; default: "
                         "auto-discover next to --ckpt_dir")
     p.add_argument("--dump_path", default="./regen")
+    p.add_argument("--prior_dump_paths", default="",
+                   help="comma-separated previous dump folders (globs ok): "
+                        "crops already present there are skipped, like the "
+                        "reference's dump-folder history "
+                        "(regenerateFromtrain2.py:676-704)")
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--fullSampling", type=int, default=0,
                    help="1: full 599 model calls; 0: skip-step schedule")
@@ -151,6 +156,7 @@ def main(argv=None) -> None:
         sid_change=args.sidChange,
         stop_flag=args.flagGen or None,
         keep_rejected=bool(args.keep_rejected),
+        prior_dirs=[d for d in args.prior_dump_paths.split(",") if d],
     )
     stats = regen.run(
         samples,

@@ -27,8 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="second writer id: interpolate between --writer "
                         "and --writer2 styles (reference --interpolation, "
                         "sampling.py:122-124)")
-    p.add_argument("--mix_rate", type=float, default=0.5,
-                   help="interpolation weight towards --writer2")
+    p.add_argument("--mix_rate", type=float, default=-1.0,
+                   help="interpolation weight towards --writer2; negative "
+                        "(default) draws a fresh uniform(0,1) PER SAMPLE "
+                        "like the reference gt-file sampler "
+                        "(full_sampling.py:150)")
     p.add_argument("--n", type=int, default=1, help="samples per word")
     p.add_argument("--save_path", default="./samples")
     p.add_argument("--use_ema", type=int, default=1)
@@ -267,6 +270,7 @@ def main(argv=None) -> None:
         else:
             cond_lat1 = img.astype(np.float32)
 
+    rng_np = np.random.default_rng(args.seed)
     if args.gt_file:
         from ..data.gt import parse_gt
 
@@ -277,7 +281,6 @@ def main(argv=None) -> None:
         pairs = [(s.word, registry[s.writer], s.writer) for s in samples]
     else:
         words = [w for w in args.words.split(",") if w]
-        rng_np = np.random.default_rng(args.seed)
         # --writer takes the DENSE embedding index; the style dict is
         # keyed by RAW training writer ids, so invert the training
         # writers_dict when it exists (str(dense) only matches raw ids
@@ -329,18 +332,27 @@ def main(argv=None) -> None:
         wids2 = mix = None
         if args.writer2 >= 0:
             # writer-style interpolation (reference --interpolation:
-            # embeddings mixed inside the forward, sampling.py:122-124)
+            # embeddings mixed inside the forward, sampling.py:122-124);
+            # default draws a fresh uniform(0,1) per sample like the
+            # reference gt-file sampler (full_sampling.py:150)
             wids2 = [args.writer2] * len(chunk)
-            mix = args.mix_rate
+            mix = (
+                np.full((len(chunk),), args.mix_rate, np.float32)
+                if args.mix_rate >= 0
+                else rng_np.uniform(0.0, 1.0, len(chunk)).astype(np.float32)
+            )
         condlat = (np.repeat(cond_lat1, len(chunk), axis=0)
                    if cond_lat1 is not None else None)
         imgs = sampler.sample(words_b, wids_b, jax.random.fold_in(rng, start),
                               phosc, writer_ids2=wids2, mix_rate=mix,
                               style_vec=style, char_images=chimg,
                               cond_latents=condlat)
-        suffix = f"_mix{args.mix_rate}" if args.writer2 >= 0 else ""
-        names = [f"{start+i:05d}_{wid}_{w}{suffix}.png"
-                 for i, (w, wid, _) in enumerate(chunk)]
+        names = [
+            f"{start+i:05d}_{wid}_{w}"
+            + (f"_mix{mix[i]:.3f}" if mix is not None else "")
+            + ".png"
+            for i, (w, wid, _) in enumerate(chunk)
+        ]
         if args.crop_whitespace:
             for i in range(len(imgs)):
                 cropped = crop_whitespace(denormalize_to_uint8(imgs[i]))

@@ -58,6 +58,27 @@ def scan_existing(out_dir: str) -> set:
     return set(os.listdir(out_dir))
 
 
+def scan_history(out_dir: str, prior_dirs: Sequence[str] = ()) -> set:
+    """Already-generated crop filenames across the output dir AND a
+    history of previous dump folders.
+
+    The reference resumes against whichever *previous* dump folder the
+    author pointed the loader at (the commented stack of dumpPaths,
+    ``regenerateFromtrain2.py:676-704``, scanned at ``:177-202``) — so a
+    run whose output moved to a fresh directory still skips everything
+    generated before. ``prior_dirs`` entries may be globs
+    (``runs/regen_*``); non-existent paths are ignored like the
+    reference's ``os.path.isdir`` guard."""
+    import glob as _glob
+
+    existing = scan_existing(out_dir)
+    for pattern in prior_dirs:
+        dirs = _glob.glob(pattern) or [pattern]
+        for d in dirs:
+            existing |= scan_existing(d)
+    return existing
+
+
 class Regenerator:
     def __init__(
         self,
@@ -69,6 +90,7 @@ class Regenerator:
         sid_change: int = 0,
         stop_flag: Optional[str] = None,
         keep_rejected: bool = False,
+        prior_dirs: Sequence[str] = (),
     ):
         # For the fast fused-OCR path (only uint8 images + int frame-ids
         # cross the device->host link), construct the WordSampler with
@@ -83,6 +105,7 @@ class Regenerator:
         self.sid_change = sid_change
         self.stop = StopFlag(stop_flag)
         self.keep_rejected = keep_rejected
+        self.prior_dirs = tuple(prior_dirs)
 
     def _filter_words(self, images: np.ndarray) -> list[str]:
         """Decode generated images with the frozen OCR (channel 0,
@@ -103,7 +126,7 @@ class Regenerator:
     ) -> RegenStats:
         rng = jax.random.PRNGKey(0) if rng is None else rng
         os.makedirs(self.out_dir, exist_ok=True)
-        existing = scan_existing(self.out_dir)
+        existing = scan_history(self.out_dir, self.prior_dirs)
         stats = RegenStats()
 
         todo = []

@@ -181,8 +181,13 @@ class WordSampler:
             jnp.asarray(np.asarray(writer_ids2, np.int32))
             if writer_ids2 is not None else None
         )
+        # scalar or per-sample [B] (the reference draws a fresh
+        # random.uniform(0,1) per item in gt-file sampling,
+        # full_sampling.py:150)
         mix = (
-            jnp.full((len(words),), mix_rate, jnp.float32)
+            jnp.asarray(
+                np.broadcast_to(np.asarray(mix_rate, np.float32), (len(words),))
+            )
             if mix_rate is not None else None
         )
         sv = (
