@@ -212,6 +212,36 @@ def test_fused_ffn_kernels_are_differentiable():
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_fused_ffn_kernel_backward_grad_parity():
+    """The fused Pallas BACKWARD kernel (fused_ln_geglu_ffn_kbwd — a
+    measured negative at the flagship shape, kept correct for shapes
+    where it may win) must produce the same gradients as the unfused
+    composition, for every input, including an M that exercises the
+    zero-padded tail rows."""
+    from worddiffusion_tpu.ops.ffn_pallas import (
+        _ln_ffn_reference,
+        fused_ln_geglu_ffn_kbwd,
+    )
+
+    d, inner, m = 32, 64, 23  # m=23 forces pad rows in the bwd grid
+    rng = jax.random.PRNGKey(2)
+    shapes = [(m, d), (d,), (d,), (d, 2 * inner), (2 * inner,), (inner, d), (d,)]
+    args = [
+        (1.0 if i == 0 else 0.05) * jax.random.normal(jax.random.fold_in(rng, i), s)
+        for i, s in enumerate(shapes)
+    ]
+    co = jax.random.normal(jax.random.fold_in(rng, 9), (m, d))
+    g1 = jax.grad(
+        lambda *a: jnp.sum(fused_ln_geglu_ffn_kbwd(*a, block_m=8) * co),
+        argnums=tuple(range(7)),
+    )(*args)
+    g2 = jax.grad(
+        lambda *a: jnp.sum(_ln_ffn_reference(*a) * co), argnums=tuple(range(7))
+    )(*args)
+    for a, b in zip(g1, g2):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_ffn_vmem_block_picker():
     from worddiffusion_tpu.ops.ffn_pallas import fits_vmem, pick_block_m
 

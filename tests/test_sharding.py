@@ -92,3 +92,40 @@ def test_pallas_ffn_partitions_without_gathers():
         jax.grad(lambda x, *a: jnp.sum(fused_ln_geglu_ffn(x, *a, block_m=64)))
     )(xs, *args)
     assert g.sharding.spec == P("data")
+
+
+def test_pallas_ffn_kernel_backward_sharded_grads():
+    """The fused BACKWARD kernel's partitioning: dx stays row-sharded
+    with zero all-gathers, and the weight/bias/norm grads — row
+    reductions the partition callback must psum itself (a Shardy rule
+    cannot declare a reduction factor next to the passthrough dx) —
+    match the unsharded reference exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from worddiffusion_tpu.ops.ffn_pallas import (
+        _ln_ffn_reference,
+        fused_ln_geglu_ffn_kbwd,
+    )
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    d, inner, m = 64, 128, 512
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (m, d))
+    shapes = [(d,), (d,), (d, 2 * inner), (2 * inner,), (inner, d), (d,)]
+    args = [
+        0.05 * jax.random.normal(jax.random.fold_in(rng, i), s)
+        for i, s in enumerate(shapes)
+    ]
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+
+    loss = lambda x, *a: jnp.sum(fused_ln_geglu_ffn_kbwd(x, *a, block_m=64) ** 2)
+    gfun = jax.jit(jax.grad(loss, argnums=(0, 1, 3, 5)))
+    hlo = gfun.lower(xs, *args).compile().as_text()
+    assert hlo.count("all-gather") == 0
+    g = gfun(xs, *args)
+    assert g[0].sharding.spec == P("data")
+    gr = jax.grad(
+        lambda x, *a: jnp.sum(_ln_ffn_reference(x, *a) ** 2), argnums=(0, 1, 3, 5)
+    )(x, *args)
+    for a, b in zip(g, gr):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)

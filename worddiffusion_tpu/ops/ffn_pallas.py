@@ -274,10 +274,222 @@ def _call_flat(op, x, tensors, static):
     return out.reshape(x.shape)
 
 
+# ---------------------------------------------------------------------
+# Fused backward kernel for the LN+FFN sub-layer — MEASURED NEGATIVE at
+# the flagship shape; kept correct + tested, NOT the production bwd.
+#
+# The round-3 backward re-ran the unfused composition under jax.vjp
+# (rematerialisation); that extra XLA forward made training with the
+# kernel ~3% SLOWER than the pure-XLA baseline, so the Trainer switched
+# the kernel off. This kernel was the round-4 attempt at the standard
+# fix: compute the whole backward in one program — recompute LN + the
+# GEGLU projection in VMEM, chain dact -> dh -> dxn -> LN-backward for
+# dx, accumulate all six weight/bias/norm grads across the row-tile
+# grid in resident VMEM blocks; nothing wider than [bm, d] touches HBM.
+# Measured (idle v5e, flagship [32768, 320] x d_ff 1280, best-of-3,
+# x20-30 chained): bwd kernel 2.67 ms at its best tile (bm=256; 2.88 at
+# 128, 3.76 at 64, OOM at 512) vs the TOTAL XLA unfused fwd+bwd of
+# 2.45 ms — the fused bwd alone costs more than XLA's entire fwd+bwd.
+# fwd+bwd totals: XLA 2.45 / kernel-fwd+recompute-bwd 2.91 /
+# kernel-fwd+kernel-bwd 3.34 ms. Root cause: the backward is compute-
+# bound, its extra 2 recompute matmul-units can't be paid for by saved
+# HBM traffic, and the [bm,·]^T x [bm,·] weight-grad contractions
+# (K=bm) run far below MXU peak inside a row-tiled kernel while XLA
+# schedules them near peak. The forward kernel's win comes from
+# removing a round-trip XLA cannot fuse; no such round-trip exists in
+# the backward, which XLA already handles from saved residuals.
+# BENCHMARKS.md "round 4" has the full table.
+#
+# Math (forward: out = xf + act@w2 + b2, act = a*gelu(u),
+# [a,u] = xn@w1 + b1, xn = LN(x)*gamma + beta, all dtypes as the
+# forward kernel computes them):
+#   dact = dy @ w2^T          dw2 = act^T @ dy     db2 = sum_rows dy
+#   da = dact*gelu(u)         du = dact*a*gelu'(u) dh = [da, du]
+#   dxn = dh @ w1^T           dw1 = xn^T @ dh      db1 = sum_rows dh
+#   dgamma = sum dxn*xhat     dbeta = sum dxn
+#   dx = dy + rsig*(dxhat - mean(dxhat) - xhat*mean(dxhat*xhat)),
+#        dxhat = dxn*gamma
+
+
+def _gelu_and_grad(u):
+    """tanh-approx gelu (jax.nn.gelu default) and its derivative."""
+    c, k = 0.7978845608028654, 0.044715  # sqrt(2/pi), cubic coeff
+    t = jnp.tanh(c * (u + k * u * u * u))
+    gu = 0.5 * u * (1.0 + t)
+    dgu = 0.5 * (1.0 + t) + 0.5 * u * (1.0 - t * t) * c * (1.0 + 3.0 * k * u * u)
+    return gu, dgu
+
+
+def _dot_t(a, b):  # a[m,k] x b[n,k] -> [m,n] (contract last dims)
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_acc(a, b):  # a[m,k] x b[m,n] -> [k,n] (contract rows)
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _ln_ffn_bwd_kernel(
+    x_ref, dy_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
+    dx_ref, dg_ref, dbt_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    *, inner: int, eps: float,
+):
+    xf = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    rsig = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * rsig
+    gam = g_ref[:]
+    xn = (xhat * gam + b_ref[:]).astype(x_ref.dtype)
+    h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    a, u = h[:, :inner], h[:, inner:]
+    gu, dgu = _gelu_and_grad(u)
+    act = (a * gu).astype(x_ref.dtype)
+
+    dy = dy_ref[:]
+    dyf = dy.astype(jnp.float32)
+    dact = _dot_t(dy, w2_ref[:])                       # [bm, inner]
+    dh = jnp.concatenate([dact * gu, dact * a * dgu], axis=1)
+    dhc = dh.astype(x_ref.dtype)
+    dxn = _dot_t(dhc, w1_ref[:])                       # [bm, d]
+    dxhat = dxn * gam
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ref[:] = (dyf + rsig * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+    dg = jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    dbt = jnp.sum(dxn, axis=0, keepdims=True)
+    dw1 = _dot_acc(xn, dhc)                            # [d, 2*inner]
+    db1 = jnp.sum(dh, axis=0, keepdims=True)
+    dw2 = _dot_acc(act, dy)                            # [inner, d]
+    db2 = jnp.sum(dyf, axis=0, keepdims=True)
+
+    # grad accumulators live in VMEM across the sequential row-tile grid
+    # (constant index maps); zero-padded tail rows contribute exactly 0
+    # because dy is padded with zeros
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dg_ref[:] = dg
+        dbt_ref[:] = dbt
+        dw1_ref[:] = dw1
+        db1_ref[:] = db1
+        dw2_ref[:] = dw2
+        db2_ref[:] = db2
+
+    @pl.when(pl.program_id(0) > 0)
+    def _accumulate():
+        dg_ref[:] += dg
+        dbt_ref[:] += dbt
+        dw1_ref[:] += dw1
+        db1_ref[:] += db1
+        dw2_ref[:] += dw2
+        db2_ref[:] += db2
+
+
+def pick_block_m_bwd(d: int, inner: int, m: int, block_m: int = 256,
+                     dtype_bytes: int = 2) -> int | None:
+    """Row tile for the backward kernel. Bigger working set than the
+    forward: h/dh [bm, 2*inner] f32 both live, plus f32 weight-grad
+    accumulators resident across the grid. None = fall back to the
+    XLA-recompute backward.
+
+    The tile-byte formula over-counts what Mosaic actually allocates
+    (temporaries are reused), so the budget is calibrated empirically
+    on v5e at the flagship shape: bm=256 (formula: 20.5 MB) compiles
+    and is the fastest tile, bm=512 (33.6 MB) exhausts VMEM."""
+    resident = (
+        (d * 2 * inner + inner * d) * dtype_bytes     # w1, w2
+        + (d * 2 * inner + inner * d) * 4             # dw1, dw2 accumulators
+        + (4 * d + 4 * inner) * 4                     # bias/norm rows + grads
+    )
+    budget = 22 * 1024 * 1024
+    bm = min(block_m, max(8, m))
+    while bm >= 8:
+        tiles = (
+            2 * bm * d * dtype_bytes * 3              # x, dy, dx double-buffered
+            + 2 * bm * 2 * inner * 4                  # h, dh f32
+            + 3 * bm * inner * 4                      # dact, gu, dgu f32
+            + 2 * bm * inner * dtype_bytes            # act, dhc
+            + 5 * bm * d * 4                          # xf, xhat, dxn, dxhat, dyf
+        )
+        if resident + tiles <= budget:
+            return bm
+        bm //= 2
+    return None
+
+
+def _ln_ffn_bwd_pallas(
+    x, dy, gamma, beta, w1, b1, w2,
+    eps: float = 1e-5, block_m: int = 256, interpret: bool | None = None,
+):
+    """Flat [M, d] backward: returns (dx, dgamma, dbeta, dw1, db1, dw2,
+    db2) with dx in x.dtype and every grad accumulated in f32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    d = x.shape[-1]
+    inner = w2.shape[0]
+    m = x.shape[0]
+    bm = pick_block_m_bwd(d, inner, m, block_m, _dtype_bytes(x.dtype))
+    if bm is None:
+        raise ValueError(
+            f"fused FFN backward does not fit VMEM at d={d}, inner={inner}"
+        )
+    pad = (-m) % bm
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        dy = jnp.pad(dy, ((0, pad), (0, 0)))
+    mp = m + pad
+
+    row = lambda a, n: a.astype(jnp.float32).reshape(1, n)
+    operands = (
+        x, dy.astype(x.dtype), row(gamma, d), row(beta, d),
+        w1.astype(x.dtype), row(b1, 2 * inner), w2.astype(x.dtype),
+    )
+    tile = lambda shape: pl.BlockSpec(
+        shape, lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        tile((bm, d)), tile((bm, d)), const((1, d)), const((1, d)),
+        const((d, 2 * inner)), const((1, 2 * inner)), const((inner, d)),
+    ]
+    out_specs = [
+        tile((bm, d)),                       # dx
+        const((1, d)), const((1, d)),        # dgamma, dbeta
+        const((d, 2 * inner)), const((1, 2 * inner)),  # dw1, db1
+        const((inner, d)), const((1, d)),    # dw2, db2
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((mp, d), x.dtype),
+        jax.ShapeDtypeStruct((1, d), jnp.float32),
+        jax.ShapeDtypeStruct((1, d), jnp.float32),
+        jax.ShapeDtypeStruct((d, 2 * inner), jnp.float32),
+        jax.ShapeDtypeStruct((1, 2 * inner), jnp.float32),
+        jax.ShapeDtypeStruct((inner, d), jnp.float32),
+        jax.ShapeDtypeStruct((1, d), jnp.float32),
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_ln_ffn_bwd_kernel, inner=inner, eps=eps),
+        grid=(mp // bm,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+    dx = outs[0][:m] if pad else outs[0]
+    return (dx,) + tuple(outs[1:])
+
+
 # Autodiff: pallas_call has no reverse-mode rule, and the training step
-# differentiates through the UNet. custom_vjp runs the kernel forward
-# and an XLA-recompute backward (jax.vjp of the unfused composition from
-# the saved inputs) — standard rematerialised-backward structure.
+# differentiates through the UNet. custom_vjp pairs the forward kernel
+# with the fused backward kernel above; when the backward working set
+# cannot fit VMEM it falls back to an XLA-recompute backward (jax.vjp
+# of the unfused composition from the saved inputs).
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -335,7 +547,77 @@ def _ln_ffn_fwd(x, gamma, beta, w1, b1, w2, b2, eps, block_m, interpret):
     return out, (x, gamma, beta, w1, b1, w2, b2)
 
 
+def _ln_ffn_bwd_flat(x, dy, gamma, beta, w1, b1, w2, eps, block_m, interpret):
+    """[M, d]-rows backward impl with 1-D bias/norm grads (the shapes
+    the partitioning rule declares)."""
+    d = x.shape[-1]
+    inner = w2.shape[0]
+    dx, dg, dbt, dw1, db1, dw2, db2 = _ln_ffn_bwd_pallas(
+        x, dy, gamma, beta, w1, b1, w2, eps, block_m, interpret
+    )
+    return (
+        dx, dg.reshape(d), dbt.reshape(d), dw1, db1.reshape(2 * inner),
+        dw2, db2.reshape(d),
+    )
+
+
+# Backward partitioning: rows passthrough (dx shards like x, zero
+# gathers on a dp mesh); every feature/weight factor is replicated. The
+# weight/bias/norm grads are row-REDUCTIONS, which a Shardy rule cannot
+# express next to a row-passthrough result ("reduction factor cannot be
+# in result mappings" — verified), so the partition callback emits the
+# psum over the row axes itself; sharded-grad correctness is pinned by
+# tests/test_sharding.py.
+_LN_FFN_BWD_RULE = SdyShardingRule(
+    (("m", "d"), ("m", "da"), ("db",), ("dc",), ("dd", "f"), ("fa",),
+     ("i", "de")),
+    (("m", "d"), ("db",), ("dc",), ("dd", "f"), ("fa",), ("i", "de"),
+     ("dz",)),
+    need_replication_factors=(
+        "d", "da", "db", "dc", "dd", "f", "fa", "i", "de", "dz",
+    ),
+)
+_ln_ffn_bwd_cp = custom_partitioning(
+    _ln_ffn_bwd_flat, static_argnums=(7, 8, 9)
+)
+
+
+def _bwd_infer(*cb):
+    mesh, arg_shapes = cb[-3], cb[-2]
+    xs = _row_sharding(mesh, arg_shapes)
+    return (xs,) + (NamedSharding(mesh, P()),) * 6
+
+
+def _bwd_partition(*cb):
+    static, mesh, arg_shapes = cb[:-3], cb[-3], cb[-2]
+    xs = _row_sharding(mesh, arg_shapes)
+    rep = NamedSharding(mesh, P())
+    spec = list(getattr(arg_shapes[0].sharding, "spec", ()) or ())
+    row_axes = spec[0] if spec and spec[0] else None
+
+    def lower(*tensors):
+        outs = _ln_ffn_bwd_flat(*tensors, *static)
+        if row_axes is not None:
+            outs = (outs[0],) + tuple(
+                jax.lax.psum(o, row_axes) for o in outs[1:]
+            )
+        return outs
+
+    return mesh, lower, (xs,) + (rep,) * 6, (xs, xs) + (rep,) * 5
+
+
+_ln_ffn_bwd_cp.def_partition(
+    partition=_bwd_partition,
+    infer_sharding_from_operands=_bwd_infer,
+    sharding_rule=_LN_FFN_BWD_RULE,
+)
+
+
 def _ln_ffn_bwd(eps, block_m, interpret, res, g):
+    # production backward: XLA recompute (jax.vjp of the unfused
+    # composition). The fused backward kernel below measured SLOWER
+    # (2.67 vs the 2.24 ms this path costs at the flagship shape) —
+    # see the measured-negative note above _gelu_and_grad.
     _, vjp = jax.vjp(
         functools.partial(_ln_ffn_reference, eps=eps), *res
     )
@@ -343,6 +625,46 @@ def _ln_ffn_bwd(eps, block_m, interpret, res, g):
 
 
 fused_ln_geglu_ffn.defvjp(_ln_ffn_fwd, _ln_ffn_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_ln_geglu_ffn_kbwd(
+    x, gamma, beta, w1, b1, w2, b2, eps=1e-5, block_m=512, interpret=None
+):
+    """Same forward as ``fused_ln_geglu_ffn`` but with the fused Pallas
+    BACKWARD kernel. Measured slower than the recompute backward at the
+    flagship shape (see the negative-result note above) — exposed for
+    benchmarking and for shapes where it may win; not used by the
+    model layer."""
+    return _call_flat(
+        _ln_ffn_cp, x, (gamma, beta, w1, b1, w2, b2), (eps, block_m, interpret)
+    )
+
+
+def _ln_ffn_kbwd(eps, block_m, interpret, res, g):
+    x, gamma, beta, w1, b1, w2, b2 = res
+    d = x.shape[-1]
+    inner = w2.shape[0]
+    if pick_block_m_bwd(d, inner, m=8,
+                        dtype_bytes=_dtype_bytes(x.dtype)) is None:
+        # working set too wide for VMEM: XLA-recompute backward
+        _, vjp = jax.vjp(
+            functools.partial(_ln_ffn_reference, eps=eps), *res
+        )
+        return vjp(g)
+    dx, dgamma, dbeta, dw1, db1, dw2, db2 = _ln_ffn_bwd_cp(
+        x.reshape(-1, d), g.reshape(-1, d).astype(x.dtype),
+        gamma, beta, w1, b1, w2, eps, block_m, interpret,
+    )
+    return (
+        dx.reshape(x.shape).astype(x.dtype),
+        dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype),
+        dw1.astype(w1.dtype), db1.astype(b1.dtype),
+        dw2.astype(w2.dtype), db2.astype(b2.dtype),
+    )
+
+
+fused_ln_geglu_ffn_kbwd.defvjp(_ln_ffn_fwd, _ln_ffn_kbwd)
 
 
 def _xla_baseline(x, w1, b1, w2, b2):

@@ -62,9 +62,12 @@ class Trainer:
             unet_cfg = exp.unet
             if unet_cfg.use_pallas_ffn is None:
                 # auto resolves OFF for training: the fused FF kernel
-                # wins ~3% on sampling but its XLA-recompute backward
-                # costs ~3% on the train step (measured idle, B=128;
-                # BENCHMARKS.md round-3 table). Explicit True overrides.
+                # wins ~3% on sampling but every measured backward —
+                # XLA-recompute (+19%) and the round-4 fused Pallas
+                # backward (+36%) — costs more than the forward win on
+                # fwd+bwd programs (BENCHMARKS.md round-3/round-4
+                # tables; XLA's saved-residual backward is already at
+                # the op's compute bound). Explicit True overrides.
                 unet_cfg = dataclasses.replace(unet_cfg, use_pallas_ffn=False)
             self.model = UNet(unet_cfg)
         self.tx = make_optimizer(exp.train.lr, exp.train.weight_decay)
