@@ -7,14 +7,17 @@ regeneration pipeline exactly as the reference runs it
 schedule (~121 denoiser calls, deterministic update) on the flagship
 320-ch UNet, **plus** VAE decode (``:624-636``), the CTC OCR filter
 forward + greedy decode (``:291-315,896-967``), and host PNG writes —
-double-buffered so host work overlaps device compute, batch 128, one
-real chip.
+depth-2 pipelined over 10 batches so host work overlaps device
+compute (steady state, like ``generate/regenerate.Regenerator``),
+batch 128, one real chip.
 
-The metric string also carries two component numbers measured in the
-same run: the latent sampler alone (the round-1 headline) and the full
-1000-call DDPM mode, which runs at ~90% of its true (HBM) roofline of
-~15.6 imgs/s/chip — 6.73 GB accessed per 8.7-GFLOP denoiser call; see
-BENCHMARKS.md "full-DDPM roofline, corrected".
+The metric string also carries component numbers measured in the same
+run: the SAME pipeline program's device-only ceiling (the honest upper
+bound — round-4 decomposition, BENCHMARKS.md), the latent sampler
+alone (the round-1 headline), the full 1000-call DDPM mode (~94% of
+its HBM roofline of ~15.6 imgs/s/chip — 6.73 GB accessed per 8.7-GFLOP
+denoiser call, pinned by docs/roofline_cost_analysis.json), and the
+flagship train-step throughput (the reference's main entry point).
 """
 
 from __future__ import annotations
@@ -162,17 +165,32 @@ def main() -> None:
 
     # warmup/compile
     jax.block_until_ready(pipeline_run(fold(100), x)[0])
-    _log("pipeline compiled; timing")
-    N = 4
-    pending = None
+    _log("pipeline compiled; timing device ceiling")
+
+    # device-only ceiling of the SAME program (dispatch all, sync one
+    # element of the last output): the honest upper bound the pipelined
+    # number is judged against — the sampler-alone leg above excludes
+    # the VAE-decode+OCR device work the pipeline must do
+    N = 10
+    t0 = time.perf_counter()
+    outs = [pipeline_run(fold(400 + i), x) for i in range(N)]
+    np.asarray(outs[-1][0][0, 0, 0])
+    ceil_ips = BATCH / ((time.perf_counter() - t0) / N) / jax.device_count()
+    del outs
+    _log(f"device ceiling {ceil_ips:.1f} imgs/s; timing pipelined")
+
+    # steady-state pipelined throughput, depth-2 queue exactly like
+    # generate/regenerate.Regenerator
+    from collections import deque
+
+    pending = deque()
     t0 = time.perf_counter()
     for i in range(N):
-        out = pipeline_run(fold(200 + i), x)   # async dispatch
-        if pending is not None:
-            host_process(*pending, tag=f"b{i - 1}")
-        pending = out
-    host_process(*pending, tag=f"b{N - 1}")
-    jax.block_until_ready(out)
+        pending.append(pipeline_run(fold(200 + i), x))  # async dispatch
+        if len(pending) > 2:
+            host_process(*pending.popleft(), tag=f"b{i}")
+    while pending:
+        host_process(*pending.popleft(), tag=f"t{len(pending)}")
     dt_pipe = (time.perf_counter() - t0) / N
     pipe_ips = BATCH / dt_pipe / jax.device_count()
     for f in os.listdir(out_dir):
@@ -193,6 +211,37 @@ def main() -> None:
     dt_full = _best_of(full_run, fold, x, reps=2)
     full_ips = BATCH / dt_full / jax.device_count()
 
+    # 4) training throughput (the reference's main entry point,
+    #    trainModifyCondition.py:624-824): flagship jitted train step at
+    #    B=128, pipelined (dispatch all, sync the last step's loss)
+    _log(f"full-1000 done ({full_ips:.1f} imgs/s); compiling train step")
+    from worddiffusion_tpu.train.state import TrainState, make_optimizer
+    from worddiffusion_tpu.train.step import make_train_step
+
+    tx = make_optimizer(exp.train.lr)
+    t_state = TrainState.create(params, tx)
+    # production training config: Trainer resolves the fused FF kernel
+    # OFF for fwd+bwd programs (BENCHMARKS.md round-3/4); the param
+    # tree is identical so the sampler params drop in
+    import dataclasses as _dc
+
+    t_model = UNet(_dc.replace(exp.unet, use_pallas_ffn=False))
+    t_step = jax.jit(make_train_step(t_model, s600, exp, tx))
+    t_batch = {
+        "latent": x,
+        "context": ctx,
+        "writer": jnp.asarray(np.ones((BATCH,), np.int32)),
+    }
+    t_state, m = t_step(t_state, t_batch, fold(1000))  # compile
+    jax.block_until_ready(m["loss"])
+    T = 10
+    t0 = time.perf_counter()
+    for i in range(T):
+        t_state, m = t_step(t_state, t_batch, fold(1001 + i))
+    float(m["loss"])  # sync
+    dt_train = (time.perf_counter() - t0) / T
+    train_ips = BATCH / dt_train / jax.device_count()
+
     baseline = 50.0
     print(
         json.dumps(
@@ -200,9 +249,12 @@ def main() -> None:
                 "metric": (
                     "IAM regen imgs/sec/chip, FULL reference pipeline "
                     "(skip-step 600-step DDPM + VAE decode + OCR filter "
-                    f"+ PNG writes, double-buffered; latent sampler alone: "
-                    f"{sampler_ips:.1f}, full 1000-call DDPM: {full_ips:.1f} "
-                    "imgs/s/chip)"
+                    "+ PNG writes, depth-2 pipelined over 10 batches; "
+                    f"same program device-only ceiling: {ceil_ips:.1f}; "
+                    f"latent sampler alone: {sampler_ips:.1f}; full "
+                    f"1000-call DDPM: {full_ips:.1f} imgs/s/chip; train "
+                    f"step B={BATCH}: {train_ips:.0f} imgs/s/chip at "
+                    f"{dt_train * 1e3:.1f} ms/step)"
                 ),
                 "value": round(pipe_ips, 1),
                 "unit": "imgs/sec/chip",

@@ -135,6 +135,16 @@ print(f"accepted={n} rejected={len(rej)} balanced={sum(common.values())} per-wor
 PYEOF
 
 PHOSC=runs/phosc_syn3/best_params.pkl
+if [ ! -e "$PHOSC" ]; then
+  echo "=== 4c. PHOSC-ZSL evaluator (weights too large for git: 319 MB;"
+  echo "        this stage regenerates them — docs/OCR_LOOP.md 5b.2) ==="
+  python -m worddiffusion_tpu.cli.train_phosc --mode train --synthetic 1 \
+      --n_synth 1600 --renders_per_word 24 --writer_styles 1 --augment 40 \
+      --epochs 80 --batch_size 64 --lr 3e-4 --save_dir runs/phosc_syn3
+  python -m worddiffusion_tpu.cli.train_phosc --mode test --synthetic 1 \
+      --n_synth 1600 --renders_per_word 24 --writer_styles 1 --augment 40 \
+      --batch_size 64 --save_dir runs/phosc_syn3 --seed 0
+fi
 EV="python -m worddiffusion_tpu.cli.evaluate --phosc_params $PHOSC"
 $EV --real_dir runs/fid_floor_a --fake_dir runs/fid_floor_b \
     --out runs/eval_fid_realfloor.json

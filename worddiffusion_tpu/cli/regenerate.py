@@ -42,6 +42,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vae_ckpt", default="",
                    help="orbax dir from cli.train_vae (in-repo codec)")
     p.add_argument("--flagGen", default="", help="stop-flag file")
+    p.add_argument("--hiGanArch", type=int, default=0,
+                   help="checkpoint was trained with the HiGAN+ BigGAN "
+                        "generator behind the UNet signature "
+                        "(cli.train --hiGanArch 1)")
+    p.add_argument("--latent", type=int, default=1,
+                   help="checkpoint was trained in VAE latent space "
+                        "(cli.train --latent; the reference's --latent "
+                        "flag, regenerateFromtrain2.py:1019)")
     p.add_argument("--partialLoad", type=float, default=0.0)
     p.add_argument("--max_batches", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
@@ -65,10 +73,17 @@ def main(argv=None) -> None:
     from ..generate.regenerate import Regenerator
     from ..generate.sample import WordSampler
     from ..models.ocr import CTCRecognizer
-    from .sample import load_state, make_vae, resolve_writer_registry
+    from .sample import load_state, make_vae, pixel_space_exp, resolve_writer_registry
 
     exp = presets.get(args.preset)
-    state = load_state(exp, args.ckpt_dir)
+    if not args.latent:
+        exp = pixel_space_exp(exp)
+    denoiser = None
+    if args.hiGanArch:
+        from ..models.higan import HiGanDenoiserAdapter
+
+        denoiser = HiGanDenoiserAdapter(exp.unet)
+    state = load_state(exp, args.ckpt_dir, model=denoiser)
     params = state.ema_params if args.use_ema else state.params
     vae, vae_params = (make_vae(exp, args.stable_dif_path, args.vae_ckpt)
                        if exp.data.latent else (None, None))
@@ -131,6 +146,7 @@ def main(argv=None) -> None:
         ddim_steps=args.ddim,
         mesh=mesh,
         ocr_apply=ocr_apply,
+        model=denoiser,
     )
 
     samples, gt_registry = parse_gt(args.gt_file, partial_load=args.partialLoad)

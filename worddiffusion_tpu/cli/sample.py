@@ -64,18 +64,41 @@ def build_parser() -> argparse.ArgumentParser:
                    help="writer->style-vector .npz from cli.train_style "
                         "(the reference's cropStyleDict_Numpy.pkl, "
                         "unet.py:1159-1161)")
+    p.add_argument("--hiGanArch", type=int, default=0,
+                   help="checkpoint was trained with the HiGAN+ BigGAN "
+                        "generator behind the UNet signature "
+                        "(cli.train --hiGanArch 1; "
+                        "trainModifyConditionHiGan.py:383-389)")
+    p.add_argument("--latent", type=int, default=1,
+                   help="checkpoint was trained in VAE latent space "
+                        "(cli.train --latent; the reference's --latent "
+                        "flag, regenerateFromtrain2.py:1019). 0 loads "
+                        "a pixel-space (3-channel) checkpoint and skips "
+                        "the decoder")
     p.add_argument("--seed", type=int, default=0)
     return p
 
 
-def load_state(exp, ckpt_dir):
+def pixel_space_exp(exp):
+    """Pixel-space variant of a preset (cli.train --latent 0): the
+    denoiser consumes/produces 3-channel images directly, no VAE."""
+    import dataclasses
+
+    return dataclasses.replace(
+        exp,
+        data=dataclasses.replace(exp.data, latent=False),
+        unet=dataclasses.replace(exp.unet, in_channels=3, out_channels=3),
+    )
+
+
+def load_state(exp, ckpt_dir, model=None):
     import jax
 
     from ..models.unet import UNet
     from ..train.checkpoint import CheckpointManager
     from ..train.state import TrainState, make_optimizer
 
-    model = UNet(exp.unet)
+    model = model if model is not None else UNet(exp.unet)
     rng = jax.random.PRNGKey(0)
     if exp.data.latent:
         lat = np.zeros(
@@ -203,6 +226,8 @@ def main(argv=None) -> None:
     from ..utils.images import crop_whitespace, denormalize_to_uint8, save_single_images
 
     exp = presets.get(args.preset)
+    if not args.latent:
+        exp = pixel_space_exp(exp)
     if args.charImages or args.imgConditioned:
         import dataclasses
 
@@ -232,14 +257,22 @@ def main(argv=None) -> None:
                              "cli.train_style)")
         with np.load(args.style_dict, allow_pickle=False) as z:
             style_lookup = {k: z[k].astype(np.float32) for k in z.files}
+    denoiser = None
+    if args.hiGanArch:
+        from ..models.higan import HiGanDenoiserAdapter
+
+        denoiser = HiGanDenoiserAdapter(exp.unet)
     if args.torch_ckpt:
+        if args.hiGanArch:
+            raise SystemExit("--torch_ckpt conversion covers the UNet "
+                             "variants only, not --hiGanArch")
         from ..models.convert import convert_reference_unet, load_torch_checkpoint
 
         params = convert_reference_unet(
             load_torch_checkpoint(args.torch_ckpt), exp.unet
         )
     elif args.ckpt_dir:
-        state = load_state(exp, args.ckpt_dir)
+        state = load_state(exp, args.ckpt_dir, model=denoiser)
         params = state.ema_params if args.use_ema else state.params
     else:
         raise SystemExit("need --ckpt_dir or --torch_ckpt")
@@ -247,7 +280,8 @@ def main(argv=None) -> None:
     vae, vae_params = (make_vae(exp, args.stable_dif_path, args.vae_ckpt)
                        if exp.data.latent else (None, None))
     sampler = WordSampler(exp, params, vae, vae_params, cfg_scale=args.cfg_scale,
-                          ddim_steps=args.ddim, ddim_eta=args.ddim_eta)
+                          ddim_steps=args.ddim, ddim_eta=args.ddim_eta,
+                          model=denoiser)
 
     cond_lat1 = None
     if args.imgConditioned:

@@ -10,10 +10,11 @@ Rebuild of ``regenerateFromtrain2.py`` (SURVEY.md §3.3), TPU-first:
   one compiled ``lax.scan``, skipped steps cost no UNet FLOPs.
 - **Writer-id perturbation** (``sidChange``, ``:767-794``): optionally
   offset writer ids to synthesise style variants.
-- **Host/device overlap**: real double buffering — batch N's sampling
-  is dispatched asynchronously (no host sync), then the host runs the
-  OCR filter + PNG writes for batch N-1 while the device computes; the
-  sync (``np.asarray``) happens one batch late.
+- **Host/device overlap**: pipelined dispatch — up to ``queue_depth``
+  batches are dispatched asynchronously (no host sync) before the host
+  drains the oldest one (OCR filter + PNG writes) while the device
+  keeps sampling; the sync (``np.asarray``) happens ``queue_depth``
+  batches late.
 - **OCR accept filter**: greedy CTC decode of the generated image must
   exactly match the conditioning word (``:896-967``); accept-rate is
   logged per batch.
@@ -91,6 +92,7 @@ class Regenerator:
         stop_flag: Optional[str] = None,
         keep_rejected: bool = False,
         prior_dirs: Sequence[str] = (),
+        queue_depth: int = 2,
     ):
         # For the fast fused-OCR path (only uint8 images + int frame-ids
         # cross the device->host link), construct the WordSampler with
@@ -106,6 +108,12 @@ class Regenerator:
         self.stop = StopFlag(stop_flag)
         self.keep_rejected = keep_rejected
         self.prior_dirs = tuple(prior_dirs)
+        # in-flight dispatched batches before the host drains one.
+        # Depth 2 absorbs host-side jitter (PNG bursts, tunnel reads)
+        # that depth-1 double buffering exposes: measured 98.3 vs 97.5
+        # imgs/s at the flagship shape (BENCHMARKS.md round-4 pipeline
+        # decomposition).
+        self.queue_depth = max(1, queue_depth)
 
     def _filter_words(self, images: np.ndarray) -> list[str]:
         """Decode generated images with the frozen OCR (channel 0,
@@ -148,7 +156,9 @@ class Regenerator:
                     chunk = chunk + chunk[: batch_size - len(chunk)]
                 yield chunk, n_real
 
-        pending = None  # (on-device images, chunk, n_real)
+        from collections import deque
+
+        pending = deque()  # (on-device images, chunk, n_real)
         for bi, (chunk, n_real) in enumerate(batches()):
             if max_batches is not None and bi >= max_batches:
                 break
@@ -169,22 +179,22 @@ class Regenerator:
                     phosc_vector(w, self.sampler.exp.data.phos_version, as_int=True)
                     for w in words
                 ]).astype(np.int32)
-            # double buffering: dispatch batch N (async, stays on
-            # device), then do the host-side OCR filter + PNG writes of
-            # batch N-1 while the device samples
+            # pipelined dispatch: keep up to queue_depth batches in
+            # flight on the device, then drain the oldest on the host
+            # (OCR filter + PNG writes) while the device keeps sampling
             out = self.sampler.sample_async(
                 words, wids, jax.random.fold_in(rng, bi), phosc
             )
-            if pending is not None:
-                self._drain(pending, stats)
-            pending = (out, chunk, n_real)
+            pending.append((out, chunk, n_real))
+            if len(pending) > self.queue_depth:
+                self._drain(pending.popleft(), stats)
             if (bi + 1) % 10 == 0:
                 log.info(
                     "regen batch %d: accept-rate %.3f (%d/%d)",
                     bi, stats.accept_rate, stats.accepted, stats.generated,
                 )
-        if pending is not None:
-            self._drain(pending, stats)
+        while pending:
+            self._drain(pending.popleft(), stats)
         log.info(
             "regen done: %d generated, %d accepted (%.3f), %d pre-existing",
             stats.generated, stats.accepted, stats.accept_rate, stats.skipped_existing,

@@ -36,6 +36,7 @@ class WordSampler:
         ddim_eta: float = 0.0,
         mesh=None,
         ocr_apply=None,
+        model=None,
     ):
         """``mesh``: a jax Mesh to shard sampling over its 'data' axis
         (BASELINE config #3: full-set regeneration sharded over a
@@ -46,11 +47,16 @@ class WordSampler:
         sampling program, so only uint8 images + int frame-ids cross
         the (slow) device->host link — the reference round-trips fp32
         images through host memory instead
-        (``regenerateFromtrain2.py:880-896``)."""
+        (``regenerateFromtrain2.py:880-896``).
+
+        ``model``: alternative denoiser module with the UNet call
+        signature (e.g. ``HiGanDenoiserAdapter`` for ``--hiGanArch``
+        checkpoints, ``trainModifyConditionHiGan.py:383-389``);
+        defaults to the preset's UNet."""
         self.exp = exp
         self.mesh = mesh
         self.ocr_apply = ocr_apply
-        self.model = UNet(exp.unet)
+        self.model = model if model is not None else UNet(exp.unet)
         self.params = params
         self.vae = vae
         self.vae_params = vae_params
