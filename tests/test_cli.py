@@ -477,6 +477,7 @@ def test_train_phosc_len_counter_cycle(tmp_path):
         "--len_counter", str(counter_dir / "params.pkl"),
     ])
     results = (save / "testresults.txt").read_text()
-    for key in ("zsl=", "gzsl_harmonic=", "length_accuracy=",
+    for key in ("zsl=", "gzsl_harmonic=", "gzsl_valmargin_gamma=",
+                "gzsl_valmargin_harmonic=", "length_accuracy=",
                 "length_fuzzy_accuracy="):
         assert key in results, results

@@ -116,3 +116,35 @@ def test_gzsl_calibrated_stacking_recovers_unseen():
     # gamma=0 point of the curve reproduces the uncalibrated numbers
     g0 = cal["curve"][0]
     assert g0["gamma"] == 0.0 and g0["seen"] == 1.0 and g0["unseen"] == 0.0
+
+
+def test_gzsl_accuracy_with_margin_fixed_gamma():
+    """gzsl_accuracy_with_margin evaluates ONE externally chosen gamma
+    under the union-lexicon argmax: gamma=0 reproduces the uncalibrated
+    protocol; a margin big enough to beat the seen-bias recovers the
+    unseen sample while the correct seen answers survive (their own
+    score drops by the same gamma as every competitor's)."""
+    from worddiffusion_tpu.data.alphabets import phos_dim
+    from worddiffusion_tpu.data.phosc import lexicon_matrix
+    from worddiffusion_tpu.eval.zsl import gzsl_accuracy_with_margin
+
+    seen, unseen = ["the", "of"], ["and"]
+    words, lex = lexicon_matrix(seen + unseen, "eng")
+    lex = lex / np.linalg.norm(lex, axis=1, keepdims=True)
+    v = {w: lex[words.index(w)] for w in words}
+    preds_seen = np.stack([v["the"], v["of"]]).astype(np.float32)
+    preds_unseen = (v["and"] + 1.01 * v["the"])[None].astype(np.float32)
+
+    D = phos_dim("eng")
+    apply_fn = lambda im: {"phos": im[:, :D], "phoc": im[:, D:]}
+    mk = lambda: ([(preds_seen, ["the", "of"])], [(preds_unseen, ["and"])])
+
+    sb, ub = mk()
+    r0 = gzsl_accuracy_with_margin(apply_fn, sb, ub, seen, unseen, 0.0, "eng")
+    assert r0["seen"] == 1.0 and r0["unseen"] == 0.0
+
+    sb, ub = mk()
+    r = gzsl_accuracy_with_margin(apply_fn, sb, ub, seen, unseen, 0.3, "eng")
+    assert r["gamma"] == 0.3
+    assert r["unseen"] == 1.0 and r["seen"] == 1.0
+    assert r["harmonic_mean"] == 1.0

@@ -354,6 +354,42 @@ def main(argv=None) -> None:
             [s.word for s in test_samples],
             args.language,
         )
+        # validation-chosen margin INSIDE the reference decision rule
+        # (round-4: the uncalibrated protocol's 0.17 harmonic is pure
+        # seen-bias). Hold out 20% of the SEEN vocabulary as
+        # pseudo-unseen, sweep the seen-class margin there, then apply
+        # the single chosen gamma to the test-time union-lexicon
+        # argmax — test data never touches the choice.
+        from ..eval.zsl import gzsl_accuracy_with_margin
+
+        vocab_rng = np.random.default_rng(args.seed)
+        seen_vocab = sorted({s.word for s in train_samples})
+        vocab_rng.shuffle(seen_vocab)
+        cut = max(1, int(len(seen_vocab) * 0.8))
+        ps_words = set(seen_vocab[:cut])
+        ps = [s for s in train_samples if s.word in ps_words]
+        pu = [s for s in train_samples if s.word not in ps_words]
+        val_best = gzsl_calibrated_stacking(
+            fn,
+            _image_batches(ps, args.image_dir, args.batch_size,
+                           drop_remainder=False),
+            _image_batches(pu, args.image_dir, args.batch_size,
+                           drop_remainder=False),
+            [s.word for s in ps],
+            [s.word for s in pu],
+            args.language,
+        )["best"]
+        vm = gzsl_accuracy_with_margin(
+            fn,
+            _image_batches(train_samples, args.image_dir, args.batch_size,
+                           drop_remainder=False),
+            _image_batches(test_samples, args.image_dir, args.batch_size,
+                           drop_remainder=False),
+            [s.word for s in train_samples],
+            [s.word for s in test_samples],
+            gamma=val_best["gamma"],
+            version=args.language,
+        )
         with_len = None
         if args.len_counter:
             # length-estimation evaluation (gzslAccuracyTestAni with
@@ -391,7 +427,8 @@ def main(argv=None) -> None:
                 version=args.language,
             )
         logging.info("ZSL test acc %.4f by-len %s GZSL %s calibrated-best %s"
-                     " with-length %s", acc, by_len, gz, cal["best"], with_len)
+                     " val-margin %s with-length %s",
+                     acc, by_len, gz, cal["best"], vm, with_len)
         with open(os.path.join(args.save_dir, "testresults.txt"), "a") as f:
             f.write(f"zsl={acc}\nby_len={by_len}\n")
             f.write(f"gzsl_seen={gz['seen']}\ngzsl_unseen={gz['unseen']}\n"
@@ -401,6 +438,10 @@ def main(argv=None) -> None:
                     f"gzsl_calibrated_seen={b['seen']}\n"
                     f"gzsl_calibrated_unseen={b['unseen']}\n"
                     f"gzsl_calibrated_harmonic={b['harmonic_mean']}\n")
+            f.write(f"gzsl_valmargin_gamma={vm['gamma']}\n"
+                    f"gzsl_valmargin_seen={vm['seen']}\n"
+                    f"gzsl_valmargin_unseen={vm['unseen']}\n"
+                    f"gzsl_valmargin_harmonic={vm['harmonic_mean']}\n")
             if with_len is not None:
                 f.write(f"len_zsl={with_len['zsl']}\n"
                         f"len_gzsl={with_len['gzsl']}\n"

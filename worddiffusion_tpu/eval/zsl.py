@@ -153,6 +153,36 @@ def gzsl_calibrated_stacking(
     return {"best": best, "curve": curve}
 
 
+def gzsl_accuracy_with_margin(
+    apply_fn: Callable[[np.ndarray], dict],
+    seen_batches: Iterable[tuple[np.ndarray, Sequence[str]]],
+    unseen_batches: Iterable[tuple[np.ndarray, Sequence[str]]],
+    seen_words: Sequence[str],
+    unseen_words: Sequence[str],
+    gamma: float,
+    version: str = "eng",
+) -> dict:
+    """The reference GZSL decision rule (union-lexicon cosine argmax,
+    ``engine.py:186-200``) with ONE fixed seen-class margin ``gamma``
+    subtracted from seen words' scores before the argmax.
+
+    Unlike :func:`gzsl_calibrated_stacking` (which sweeps gamma on the
+    evaluation split itself — a diagnostic, not a protocol), this
+    evaluates a margin chosen elsewhere, e.g. on a validation construct
+    built purely from seen-class data (hold out a fraction of the seen
+    vocabulary as pseudo-unseen and pick the best-harmonic gamma there,
+    see ``cli/train_phosc`` test mode). Test data never touches the
+    choice, so the resulting seen/unseen/harmonic numbers are
+    protocol-honest."""
+    cal = gzsl_calibrated_stacking(
+        apply_fn, seen_batches, unseen_batches, seen_words, unseen_words,
+        version, gammas=[float(gamma)],
+    )
+    r = cal["curve"][0]
+    return {"gamma": float(gamma), "seen": r["seen"], "unseen": r["unseen"],
+            "harmonic_mean": r["harmonic_mean"]}
+
+
 def zsl_gzsl_with_length(
     apply_fn: Callable[[np.ndarray], dict],
     batches: Iterable[tuple[np.ndarray, Sequence[str]]],
