@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from worddiffusion_tpu.ops.attention_pallas import fused_attention
+from bench_kernels.attention_pallas import fused_attention
 
 
 def _xla_attention(q, k, v, scale):
@@ -54,7 +54,7 @@ def test_fused_attention_bf16():
 
 
 def test_fused_groupnorm_matches_reference():
-    from worddiffusion_tpu.ops.groupnorm_pallas import fused_groupnorm
+    from bench_kernels.groupnorm_pallas import fused_groupnorm
 
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (2, 8, 32, 320), jnp.float32) * 2 + 0.5
@@ -77,7 +77,7 @@ def test_fused_groupnorm_matches_reference():
 
 
 def test_fused_groupnorm_bf16():
-    from worddiffusion_tpu.ops.groupnorm_pallas import fused_groupnorm
+    from bench_kernels.groupnorm_pallas import fused_groupnorm
 
     rng = jax.random.PRNGKey(1)
     x = jax.random.normal(rng, (1, 4, 16, 64), jnp.bfloat16)
@@ -151,7 +151,7 @@ def test_fused_gn_silu_conv3x3_matches_xla():
     import jax.numpy as jnp
     import numpy as np
 
-    from worddiffusion_tpu.ops.resblock_pallas import (
+    from bench_kernels.resblock_pallas import (
         fused_gn_silu_conv3x3,
         xla_reference,
     )

@@ -129,3 +129,52 @@ def test_pallas_ffn_kernel_backward_sharded_grads():
     )(x, *args)
     for a, b in zip(g, gr):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_pallas_fold_attn_partitions_without_gathers():
+    """The fused fold-attention kernel's SdyShardingRule must let a
+    dp-sharded batch stay sharded across x/wt/vw with no all-gathers,
+    sharded output, and gradients that match the unsharded reference."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bench_kernels.attn_fold_pallas import (
+        _fold_attn_reference,
+        fused_fold_attention,
+    )
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    b, n, c, heads, L = 8, 32, 64, 2, 6
+    m = heads * L
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (b, n, c))
+    gamma = 1 + 0.05 * jax.random.normal(jax.random.fold_in(rng, 1), (c,))
+    beta = 0.05 * jax.random.normal(jax.random.fold_in(rng, 2), (c,))
+    wt = 0.1 * jax.random.normal(jax.random.fold_in(rng, 3), (b, c, m))
+    vw = 0.1 * jax.random.normal(jax.random.fold_in(rng, 4), (b, m, c))
+    bo = 0.05 * jax.random.normal(jax.random.fold_in(rng, 5), (c,))
+
+    ds = lambda a: jax.device_put(
+        a, NamedSharding(mesh, P(*(("data",) + (None,) * (a.ndim - 1))))
+    )
+    xs, wts, vws = ds(x), ds(wt), ds(vw)
+
+    f = jax.jit(
+        lambda x, wt, vw: fused_fold_attention(x, gamma, beta, wt, vw, bo, heads)
+    )
+    hlo = f.lower(xs, wts, vws).compile().as_text()
+    assert hlo.count("all-gather") == 0
+    out = f(xs, wts, vws)
+    assert out.sharding.spec[0] == "data"
+    ref = _fold_attn_reference(x, gamma, beta, wt, vw, bo, heads)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
+
+    g = jax.jit(
+        jax.grad(
+            lambda x, wt, vw: jnp.sum(
+                fused_fold_attention(x, gamma, beta, wt, vw, bo, heads) ** 2
+            )
+        )
+    )(xs, wts, vws)
+    assert g.sharding.spec[0] == "data"

@@ -82,8 +82,6 @@ class UNetConfig:
     ocr_norm: str = "group"
     dtype: str = "bfloat16"        # activation/matmul dtype (params fp32)
     remat: bool = False            # jax.checkpoint the transformer blocks
-    use_pallas_attention: bool = False
-    use_pallas_groupnorm: bool = False
     # Fused GEGLU feed-forward (the one adopted Pallas kernel: keeps the
     # 2560-wide FF intermediate in VMEM; see ops/ffn_pallas.py).
     # None = auto: on when the backend is TPU (sampling/inference wins
@@ -91,6 +89,18 @@ class UNetConfig:
     # XLA-recompute backward costs ~3% on the train step — measured in
     # BENCHMARKS.md round 3). Explicit True/False overrides everywhere.
     use_pallas_ffn: bool | None = None
+    # Context-folded cross-attention (models/attention.py
+    # CrossAttention._folded): associate the q projection into K and
+    # the out projection into V so the flagship's tiny 42-token
+    # cross-attention runs as full-width matmuls instead of per-head
+    # MXU slivers. Same math, fewer MACs — but MEASURED NEGATIVE on
+    # the HBM-bound flagship (BENCHMARKS.md round 4: sampler wash,
+    # train step +4.6%): the per-sample effective weights it
+    # materialises ([B,C,M]+[B,M,C] ~27 MB/layer/call at B=128) cost
+    # more HBM traffic than the MACs they save. None = off. Kept as
+    # an explicit opt-in for compute-bound shapes; auto-disabled per
+    # call site when heads * context_len > query_dim (PHOSC contexts).
+    attn_fold_context: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)

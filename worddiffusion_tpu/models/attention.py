@@ -1,9 +1,10 @@
 """Cross-attention, transformer block and spatial transformer.
 
 TPU-native rewrite of ``unet.py:164-412`` / ``unetPhosc.py:157-300``:
-attention runs as batched MXU matmuls with an fp32 softmax, optionally
-through the Pallas fused kernel (``ops/attention_pallas.py``). Two block
-variants exist as *static* config, not runtime flags:
+attention runs as batched MXU matmuls with an fp32 softmax (a fused
+Pallas attention kernel was measured slower at these shapes and is
+retired to ``bench_kernels/`` — BENCHMARKS.md). Two block variants
+exist as *static* config, not runtime flags:
 
 - ``attn1_cross=True``  — the research UNet (``unet.py:337-341``) where
   BOTH attentions cross-attend to the text context through a shared
@@ -25,8 +26,46 @@ from .layers import Conv2D, Dense, FeedForward, GroupNorm32
 Dtype = Any
 
 
+def _einsum32(pattern: str, a: jax.Array, b: jax.Array) -> jax.Array:
+    """bf16 x bf16 -> fp32 einsum. ``preferred_element_type`` on TPU
+    (MXU-native); explicit upcast elsewhere — some CPU dot thunks lack
+    mixed-output dots. Numerically identical either way: bf16 values
+    are exact in fp32 and both forms accumulate in fp32."""
+    if jax.default_backend() == "tpu":
+        return jnp.einsum(pattern, a, b, preferred_element_type=jnp.float32)
+    return jnp.einsum(pattern, a.astype(jnp.float32), b.astype(jnp.float32))
+
+
+def fold_weights(context, wq, wk, wv, wo, heads, dim_head, query_dim, dtype):
+    """Per-sample effective weights for context-folded attention
+    (``CrossAttention._folded``): the q projection associated into K
+    and the out projection into V::
+
+        wt[b] = concat_h(Wq_h @ K_h[b]^T) * scale   # [B, C, H*L]
+        vw[b] = concat_h(V_h[b] @ Wout_h)           # [B, H*L, C]
+    """
+    b, L, _ = context.shape
+    c = wq.shape[0]
+    scale = dim_head ** -0.5
+    ctx = context.astype(dtype)
+    kh = jnp.einsum("blc,cf->blf", ctx, wk.astype(dtype)).reshape(
+        b, L, heads, dim_head
+    )
+    vh = jnp.einsum("blc,cf->blf", ctx, wv.astype(dtype)).reshape(
+        b, L, heads, dim_head
+    )
+    wt = _einsum32(
+        "chd,blhd->bchl", wq.astype(dtype).reshape(c, heads, dim_head), kh
+    ) * scale
+    wt = wt.astype(dtype).reshape(b, c, heads * L)
+    vw = _einsum32(
+        "blhd,hdf->bhlf", vh, wo.astype(dtype).reshape(heads, dim_head, query_dim)
+    ).astype(dtype).reshape(b, heads * L, query_dim)
+    return wt, vw
+
+
 def _attend(
-    q: jax.Array, k: jax.Array, v: jax.Array, scale: float, use_pallas: bool
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float
 ) -> jax.Array:
     """softmax(q k^T * scale) v with fp32 accumulation.
 
@@ -36,13 +75,6 @@ def _attend(
     XLA's layout assignment elides those copies either way; kept for
     simplicity. BENCHMARKS.md roofline notes.)
     """
-    if use_pallas:
-        from ..ops.attention_pallas import fused_attention
-
-        return fused_attention(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), scale,
-        ).transpose(0, 2, 1, 3)
     sim = jnp.einsum(
         "bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32
     ) * scale
@@ -55,7 +87,32 @@ def _attend(
 
 class CrossAttention(nn.Module):
     """Multi-head cross attention (``unet.py:164-279`` minus the
-    experiment hooks). No q/k/v biases; output projection has bias."""
+    experiment hooks). No q/k/v biases; output projection has bias.
+
+    ``fold_context`` enables the context-folded evaluation for small
+    cross-attention contexts (the flagship's 42 char tokens,
+    ``unet.py:337-341``): instead of projecting queries and attending
+    per head — [Nq,80]x[80,42] MXU slivers at ~20% utilisation — the
+    query projection is associated into K and the output projection
+    into V::
+
+        sim_h = (x Wq_h) K_h^T          =  x (Wq_h K_h^T)
+        out   = (P_h V_h) Wout_h        =  P_h (V_h Wout_h)
+
+    so the two per-token matmuls become [Nq,C]x[C,H*L] and
+    [Nq,H*L]x[H*L,C] with full 320-deep contractions, and the two C x C
+    projection matmuls disappear into L-sized ones. For H*L < C this is
+    both fewer MACs (~45M vs ~68M per sample at the flagship shape) and
+    far better MXU shapes. Same math, different association — applied
+    only when ``heads * L <= query_dim`` (it inflates work for large
+    contexts such as PHOSC's 811 tokens, where the path auto-disables).
+
+    MEASURED NEGATIVE at the flagship shape (BENCHMARKS.md round 4):
+    the per-sample effective weights are ~27 MB/layer/call of extra
+    HBM traffic at B=128, which outweighs the MAC savings on the
+    HBM-bound sampler (113.5 vs 113.6 imgs/s) and train step (38.9 vs
+    37.2 ms). Default off; explicit opt-in for compute-bound shapes.
+    """
 
     query_dim: int
     context_dim: Optional[int] = None
@@ -63,8 +120,33 @@ class CrossAttention(nn.Module):
     dim_head: int = 64
     dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
-    use_pallas: bool = False
+    fold_context: bool = False
     sow_attn: bool = False
+
+    def _folded(self, x, context, to_q, to_k, to_v, to_out, deterministic):
+        b, nq, c = x.shape
+        L = context.shape[1]
+        h, d = self.heads, self.dim_head
+        # materialise the (identical) param tree without running the
+        # unfused projections — dead code under jit
+        to_q(jnp.zeros((1, 1, c), self.dtype))
+        to_k(jnp.zeros((1, 1, context.shape[-1]), self.dtype))
+        to_v(jnp.zeros((1, 1, context.shape[-1]), self.dtype))
+        to_out(jnp.zeros((1, 1, h * d), self.dtype))
+        wq = to_q.variables["params"]["Dense_0"]["kernel"]
+        wk = to_k.variables["params"]["Dense_0"]["kernel"]
+        wv = to_v.variables["params"]["Dense_0"]["kernel"]
+        wo = to_out.variables["params"]["Dense_0"]["kernel"]
+        bo = to_out.variables["params"]["Dense_0"]["bias"].astype(self.dtype)
+
+        wt, vw = fold_weights(
+            context, wq, wk, wv, wo, h, d, self.query_dim, self.dtype
+        )
+        sim = _einsum32("bnc,bcm->bnm", x.astype(self.dtype), wt)
+        sim = sim.reshape(b, nq, h, L)
+        p = jax.nn.softmax(sim, axis=-1).astype(self.dtype).reshape(b, nq, h * L)
+        out = _einsum32("bnm,bmf->bnf", p, vw).astype(self.dtype) + bo
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
     @nn.compact
     def __call__(
@@ -74,10 +156,23 @@ class CrossAttention(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         inner = self.heads * self.dim_head
+        to_q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")
+        to_k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")
+        to_v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")
+        to_out = Dense(self.query_dim, dtype=self.dtype, name="to_out")
+        if (
+            self.fold_context
+            and not self.sow_attn
+            and context is not None
+            and self.heads * context.shape[1] <= self.query_dim
+        ):
+            return self._folded(
+                x, context, to_q, to_k, to_v, to_out, deterministic
+            )
         context = x if context is None else context
-        q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        q = to_q(x)
+        k = to_k(context)
+        v = to_v(context)
 
         b, nq, _ = q.shape
         nk = k.shape[1]
@@ -99,9 +194,9 @@ class CrossAttention(nn.Module):
                 preferred_element_type=jnp.float32,
             ).astype(v.dtype)
         else:
-            out = _attend(q, k, v, self.dim_head ** -0.5, self.use_pallas)
+            out = _attend(q, k, v, self.dim_head ** -0.5)
         out = out.reshape(b, nq, inner)
-        out = Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+        out = to_out(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
 
@@ -113,8 +208,8 @@ class BasicTransformerBlock(nn.Module):
     dropout: float = 0.0
     attn1_cross: bool = True
     dtype: Dtype = jnp.bfloat16
-    use_pallas: bool = False
     use_pallas_ffn: bool = False
+    fold_context: bool = False
     sow_attn: bool = False
 
     @nn.compact
@@ -138,7 +233,7 @@ class BasicTransformerBlock(nn.Module):
             dim_head=self.d_head,
             dropout=self.dropout,
             dtype=self.dtype,
-            use_pallas=self.use_pallas,
+            fold_context=self.fold_context,
             sow_attn=self.sow_attn,
             name="attn1",
         )
@@ -149,7 +244,7 @@ class BasicTransformerBlock(nn.Module):
             dim_head=self.d_head,
             dropout=self.dropout,
             dtype=self.dtype,
-            use_pallas=self.use_pallas,
+            fold_context=self.fold_context,
             sow_attn=self.sow_attn,
             name="attn2",
         )
@@ -210,8 +305,8 @@ class SpatialTransformer(nn.Module):
     dropout: float = 0.0
     attn1_cross: bool = True
     dtype: Dtype = jnp.bfloat16
-    use_pallas: bool = False
     use_pallas_ffn: bool = False
+    fold_context: bool = False
     sow_attn: bool = False
     remat: bool = False
 
@@ -241,8 +336,8 @@ class SpatialTransformer(nn.Module):
                 dropout=self.dropout,
                 attn1_cross=self.attn1_cross,
                 dtype=self.dtype,
-                use_pallas=self.use_pallas,
                 use_pallas_ffn=self.use_pallas_ffn,
+                fold_context=self.fold_context,
                 sow_attn=self.sow_attn,
                 name=f"block_{i}",
             )(x, context, deterministic)

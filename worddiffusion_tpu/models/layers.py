@@ -57,7 +57,6 @@ class GroupNorm32(nn.Module):
 
     num_groups: int = 32
     epsilon: float = 1e-5
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -65,12 +64,6 @@ class GroupNorm32(nn.Module):
         g = min(self.num_groups, c)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        if self.use_pallas and x.ndim == 4:
-            from ..ops.groupnorm_pallas import fused_groupnorm
-
-            return fused_groupnorm(
-                x, scale, bias, num_groups=g, eps=self.epsilon
-            )
         xg = x.reshape(x.shape[:-1] + (g, c // g))
         red = tuple(range(1, x.ndim - 1)) + (x.ndim,)
         mu = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)

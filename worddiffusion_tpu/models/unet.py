@@ -43,7 +43,6 @@ class ResBlock(nn.Module):
     out_channels: int
     dropout: float = 0.0
     scale_shift: bool = False
-    gn_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -51,7 +50,7 @@ class ResBlock(nn.Module):
         self, x: jax.Array, emb: jax.Array, deterministic: bool = True
     ) -> jax.Array:
         in_ch = x.shape[-1]
-        h = GroupNorm32(use_pallas=self.gn_pallas, name="in_norm")(x)
+        h = GroupNorm32(name="in_norm")(x)
         h = nn.silu(h)
         h = Conv2D(self.out_channels, dtype=self.dtype, name="in_conv")(h)
 
@@ -63,10 +62,10 @@ class ResBlock(nn.Module):
 
         if self.scale_shift:
             scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
-            h = GroupNorm32(use_pallas=self.gn_pallas, name="out_norm")(h) * (1 + scale) + shift
+            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
         else:
             h = h + emb_out[:, None, None, :]
-            h = GroupNorm32(use_pallas=self.gn_pallas, name="out_norm")(h)
+            h = GroupNorm32(name="out_norm")(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = Conv2D(self.out_channels, zero_init=True, dtype=self.dtype, name="out_conv")(h)
@@ -98,13 +97,13 @@ class UNet(nn.Module):
             dropout=cfg.dropout,
             attn1_cross=cfg.attn1_cross,
             dtype=jnp.dtype(cfg.dtype),
-            use_pallas=cfg.use_pallas_attention,
             # auto (None): the fused FF kernel wins on TPU only; CPU
             # would run it in interpret mode for no benefit
             use_pallas_ffn=(
                 jax.default_backend() == "tpu"
                 if cfg.use_pallas_ffn is None else cfg.use_pallas_ffn
             ),
+            fold_context=bool(cfg.attn_fold_context),
             sow_attn=cfg.return_attn,
             remat=cfg.remat,
             name=name,
@@ -218,7 +217,6 @@ class UNet(nn.Module):
                     ch,
                     dropout=cfg.dropout,
                     scale_shift=cfg.use_scale_shift_norm,
-                    gn_pallas=cfg.use_pallas_groupnorm,
                     dtype=dtype,
                     name=f"in_{level}_{i}_res",
                 )(h, emb, deterministic)
@@ -236,13 +234,11 @@ class UNet(nn.Module):
 
         # middle
         h = ResBlock(
-            ch, dropout=cfg.dropout, scale_shift=cfg.use_scale_shift_norm,
-            gn_pallas=cfg.use_pallas_groupnorm, dtype=dtype, name="mid_res1",
+            ch, dropout=cfg.dropout, scale_shift=cfg.use_scale_shift_norm, dtype=dtype, name="mid_res1",
         )(h, emb, deterministic)
         h = self._spatial_transformer(ch, "mid_attn")(h, context, deterministic)
         h = ResBlock(
-            ch, dropout=cfg.dropout, scale_shift=cfg.use_scale_shift_norm,
-            gn_pallas=cfg.use_pallas_groupnorm, dtype=dtype, name="mid_res2",
+            ch, dropout=cfg.dropout, scale_shift=cfg.use_scale_shift_norm, dtype=dtype, name="mid_res2",
         )(h, emb, deterministic)
 
         # output blocks
@@ -252,8 +248,7 @@ class UNet(nn.Module):
                 h = jnp.concatenate([h, skip], axis=-1)
                 ch = cfg.model_channels * mult
                 h = ResBlock(
-                    ch, dropout=cfg.dropout, scale_shift=cfg.use_scale_shift_norm,
-                    gn_pallas=cfg.use_pallas_groupnorm, dtype=dtype,
+                    ch, dropout=cfg.dropout, scale_shift=cfg.use_scale_shift_norm, dtype=dtype,
                     name=f"out_{level}_{i}_res",
                 )(h, emb, deterministic)
                 if ds in cfg.attention_resolutions:
@@ -264,7 +259,7 @@ class UNet(nn.Module):
                     h = Upsample(ch, dtype=dtype, name=f"up_{level}")(h)
                     ds //= 2
 
-        h = GroupNorm32(use_pallas=cfg.use_pallas_groupnorm, name="out_norm")(h)
+        h = GroupNorm32(name="out_norm")(h)
         h = nn.silu(h)
         eps = Conv2D(
             cfg.out_channels, zero_init=True, dtype=dtype, name="out_conv"
