@@ -463,8 +463,11 @@ def test_train_phosc_len_counter_cycle(tmp_path):
     phosc_main([
         "--mode", "train", "--synthetic", "1", "--n_synth", "16",
         "--renders_per_word", "2", "--epochs", "1", "--batch_size", "8",
-        "--save_dir", str(save),
+        "--save_dir", str(save), "--calib_words_fraction", "0.2",
     ])
+    # margin-calibration holdout recorded; test mode below must pick it
+    # up as the genuine pseudo-unseen split
+    assert (save / "calib_words.json").exists()
     counter_dir = tmp_path / "counter"
     train_charcounter.main([
         "--synthetic", "1", "--samples_per_word", "2", "--epochs", "1",

@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "vector here)")
     p.add_argument("--counter_outputs", type=int, default=17)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--calib_words_fraction", type=float, default=0.0,
+                   help="hold this fraction of the TRAIN vocabulary out of "
+                        "training as a genuine unseen calibration split "
+                        "(calib_words.json); --mode test uses it to choose "
+                        "the GZSL seen-class margin without touching test "
+                        "data (gzsl_valmargin_* rows)")
     return p
 
 
@@ -183,6 +189,25 @@ def main(argv=None) -> None:
                                 renders_per_word=args.renders_per_word)
     valid_samples = _load_split(args.valid_csv, args.image_dir, args.synthetic,
                                 args.language, n_synth=args.n_synth, split="valid")
+
+    # GZSL margin-calibration holdout: carve a fraction of the TRAIN
+    # vocabulary out of training entirely, so `--mode test` can measure
+    # genuine unseen-word bias on words disjoint from both the trained
+    # vocabulary and the test split (the held-out words are recorded in
+    # calib_words.json and excluded from every reported metric).
+    if args.mode == "train" and args.calib_words_fraction > 0:
+        import json
+
+        vocab = sorted({s.word for s in train_samples})
+        vrng = np.random.default_rng(args.seed)
+        vrng.shuffle(vocab)
+        k = max(1, int(len(vocab) * args.calib_words_fraction))
+        calib_words = set(vocab[:k])
+        with open(os.path.join(args.save_dir, "calib_words.json"), "w") as f:
+            json.dump(sorted(calib_words), f)
+        train_samples = [s for s in train_samples if s.word not in calib_words]
+        logging.info("calibration holdout: %d words held out, %d words trained",
+                     len(calib_words), len({s.word for s in train_samples}))
 
     rng = jax.random.PRNGKey(args.seed)
     init_img = np.zeros((2, 50, 250, 3), np.float32)
@@ -318,6 +343,35 @@ def main(argv=None) -> None:
         test_samples = _load_split(args.test_csv, args.image_dir, args.synthetic,
                                    args.language, n_synth=args.n_synth, split="test")
         fn = lambda im: apply_eval(params, jnp.asarray(im))
+
+        # margin-calibration split for the GZSL decision rule. The
+        # honest construct needs samples of words the model did NOT
+        # train on that are also disjoint from the test split —
+        # produced by `--mode train --calib_words_fraction` (holds the
+        # words out of training and records them in calib_words.json).
+        # Without that file the fallback draws pseudo-unseen words from
+        # the TRAINED vocabulary, which measures no bias (the model is
+        # only biased toward words it actually trained on — verified:
+        # the sweep lands on gamma=0 and valmargin == uncalibrated).
+        calib_path = os.path.join(args.save_dir, "calib_words.json")
+        if os.path.exists(calib_path):
+            import json
+
+            calib_words = set(json.load(open(calib_path)))
+            seen_samples = [s for s in train_samples
+                            if s.word not in calib_words]
+            pu = [s for s in train_samples if s.word in calib_words]
+            ps = seen_samples
+        else:
+            seen_samples = train_samples
+            vocab_rng = np.random.default_rng(args.seed)
+            seen_vocab = sorted({s.word for s in train_samples})
+            vocab_rng.shuffle(seen_vocab)
+            cut = max(1, int(len(seen_vocab) * 0.8))
+            ps_words = set(seen_vocab[:cut])
+            ps = [s for s in train_samples if s.word in ps_words]
+            pu = [s for s in train_samples if s.word not in ps_words]
+
         acc, by_len = zsl_accuracy(
             fn,
             _image_batches(test_samples, args.image_dir, args.batch_size,
@@ -325,18 +379,20 @@ def main(argv=None) -> None:
             [s.word for s in test_samples],
             args.language,
         )
-        # GZSL: seen split = the training corpus, unseen = the zero-shot
+        # GZSL: seen split = the trained corpus, unseen = the zero-shot
         # test corpus, both decoded against the union lexicon
-        # (main.py:334-438, engine.py:172-268)
+        # (main.py:334-438, engine.py:172-268). Calibration-holdout
+        # words (never trained, not in the test split) are excluded
+        # from the seen metric.
         from ..eval.zsl import gzsl_accuracy
 
         gz = gzsl_accuracy(
             fn,
-            _image_batches(train_samples, args.image_dir, args.batch_size,
+            _image_batches(seen_samples, args.image_dir, args.batch_size,
                            drop_remainder=False),
             _image_batches(test_samples, args.image_dir, args.batch_size,
                            drop_remainder=False),
-            [s.word for s in train_samples],
+            [s.word for s in seen_samples],
             [s.word for s in test_samples],
             args.language,
         )
@@ -346,29 +402,22 @@ def main(argv=None) -> None:
 
         cal = gzsl_calibrated_stacking(
             fn,
-            _image_batches(train_samples, args.image_dir, args.batch_size,
+            _image_batches(seen_samples, args.image_dir, args.batch_size,
                            drop_remainder=False),
             _image_batches(test_samples, args.image_dir, args.batch_size,
                            drop_remainder=False),
-            [s.word for s in train_samples],
+            [s.word for s in seen_samples],
             [s.word for s in test_samples],
             args.language,
         )
         # validation-chosen margin INSIDE the reference decision rule
         # (round-4: the uncalibrated protocol's 0.17 harmonic is pure
-        # seen-bias). Hold out 20% of the SEEN vocabulary as
-        # pseudo-unseen, sweep the seen-class margin there, then apply
-        # the single chosen gamma to the test-time union-lexicon
-        # argmax — test data never touches the choice.
+        # seen-bias): sweep the seen-class margin on the calibration
+        # construct above, then apply the single chosen gamma to the
+        # test-time union-lexicon argmax — test data never touches the
+        # choice.
         from ..eval.zsl import gzsl_accuracy_with_margin
 
-        vocab_rng = np.random.default_rng(args.seed)
-        seen_vocab = sorted({s.word for s in train_samples})
-        vocab_rng.shuffle(seen_vocab)
-        cut = max(1, int(len(seen_vocab) * 0.8))
-        ps_words = set(seen_vocab[:cut])
-        ps = [s for s in train_samples if s.word in ps_words]
-        pu = [s for s in train_samples if s.word not in ps_words]
         val_best = gzsl_calibrated_stacking(
             fn,
             _image_batches(ps, args.image_dir, args.batch_size,
@@ -381,11 +430,11 @@ def main(argv=None) -> None:
         )["best"]
         vm = gzsl_accuracy_with_margin(
             fn,
-            _image_batches(train_samples, args.image_dir, args.batch_size,
+            _image_batches(seen_samples, args.image_dir, args.batch_size,
                            drop_remainder=False),
             _image_batches(test_samples, args.image_dir, args.batch_size,
                            drop_remainder=False),
-            [s.word for s in train_samples],
+            [s.word for s in seen_samples],
             [s.word for s in test_samples],
             gamma=val_best["gamma"],
             version=args.language,
