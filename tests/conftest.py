@@ -93,8 +93,9 @@ SLOW_TESTS = {
     # test costs 10-35s). Behaviours keep fast compile-free siblings:
     "test_regen_ocr_filter_rejects",   # 36s; accept/reject + rejected/ dir
     #   covered fast by test_regen_filter_accept_reject_fake_sampler
-    "test_char_images_sampling",       # 11s; glyph-conditioning coverage is
-    #   slow-tier only (CLI round-trip + test_char_image_conditioning)
+    "test_char_images_sampling",       # 11s; compile-free fast sibling:
+    #   test_char_glyphs_assembly (glyph stack); compiled CLI round-trip
+    #   + test_char_image_conditioning stay slow-tier
 }
 
 

@@ -50,6 +50,36 @@ def test_render_word_extended_alphabet_glyphs_differ():
         assert (g < 100).sum() > 20
 
 
+def test_char_glyphs_assembly():
+    """Compile-free fast-tier coverage of the charImages conditioning
+    input (``trainModifyCondition.py:406-446``): the glyph stack the
+    UNet's glyph conv consumes, without building a model. The compiled
+    siblings (test_char_images_sampling, test_char_image_conditioning)
+    are slow-tier."""
+    from worddiffusion_tpu.data.dataset import char_glyphs
+
+    g = char_glyphs("the", 10, (8, 8))
+    assert g.shape == (10, 8, 8, 1) and g.dtype == np.float32
+    assert g.min() >= -1.0 and g.max() <= 1.0
+    # unused slots stay white (+1)
+    assert np.all(g[3:] == 1.0)
+    # each used slot has ink, and distinct chars give distinct glyphs
+    for i in range(3):
+        assert (g[i] < 0).sum() > 0, i
+    assert not np.array_equal(g[0], g[1])
+    # same char -> identical glyph (deterministic render, shared cache)
+    g2 = char_glyphs("tt", 10, (8, 8))
+    assert np.array_equal(g2[0], g2[1]) and np.array_equal(g2[0], g[0])
+    # words longer than max_chars truncate instead of erroring
+    g3 = char_glyphs("abcdefgh", 4, (8, 8))
+    assert g3.shape[0] == 4 and (g3[3] < 0).sum() > 0
+    # the dataset emits exactly this assembly
+    ds, samples = make_dataset(char_images=True)
+    rec = ds[0]
+    want = char_glyphs(samples[0].word, ds.cfg.max_chars, ds.char_image_size)
+    assert np.array_equal(rec["char_images"], want)
+
+
 def test_dataset_record():
     ds, _ = make_dataset(use_phosc=True)
     rec = ds[0]
