@@ -50,28 +50,11 @@ def _best_of(run, rng_fold, x, reps=3):
 
 
 def _fast_init(init_fn, *args):
-    """Random params WITHOUT per-initializer XLA programs.
+    """Random params without per-initializer XLA programs (shared impl:
+    ``worddiffusion_tpu.utils.fastinit``)."""
+    from worddiffusion_tpu.utils.fastinit import fast_init
 
-    ``model.init`` dispatches one tiny compiled program per parameter;
-    through the axon tunnel the three models' inits cost ~6 minutes of
-    pure compile round-trips (measured: 366 s to the first bench stage).
-    The benchmark times throughput of random weights, so the initializer
-    distribution is irrelevant — trace shapes with ``jax.eval_shape``
-    (no compiles) and fill on host with numpy."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    shapes = jax.eval_shape(init_fn, *args)
-    rng = np.random.default_rng(0)
-
-    def fill(leaf):
-        if jnp.issubdtype(leaf.dtype, jnp.floating):
-            a = rng.standard_normal(leaf.shape, dtype=np.float32) * 0.02
-            return jnp.asarray(a, leaf.dtype)
-        return jnp.zeros(leaf.shape, leaf.dtype)
-
-    return jax.tree_util.tree_map(fill, shapes)
+    return fast_init(init_fn, *args)
 
 
 def main() -> None:

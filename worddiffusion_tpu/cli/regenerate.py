@@ -172,7 +172,7 @@ def main(argv=None) -> None:
         sid_change=args.sidChange,
         stop_flag=args.flagGen or None,
         keep_rejected=bool(args.keep_rejected),
-        prior_dirs=[d for d in args.prior_dump_paths.split(",") if d],
+        prior_dirs=[d.strip() for d in args.prior_dump_paths.split(",") if d.strip()],
     )
     stats = regen.run(
         samples,

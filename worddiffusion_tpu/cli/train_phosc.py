@@ -208,6 +208,16 @@ def main(argv=None) -> None:
         train_samples = [s for s in train_samples if s.word not in calib_words]
         logging.info("calibration holdout: %d words held out, %d words trained",
                      len(calib_words), len({s.word for s in train_samples}))
+    elif args.mode == "train":
+        # retraining on the FULL vocabulary invalidates any previous
+        # run's holdout: a stale calib_words.json would make test mode
+        # treat words the new model trained on as pseudo-unseen (the
+        # exact degenerate construct the holdout exists to avoid)
+        stale = os.path.join(args.save_dir, "calib_words.json")
+        if os.path.exists(stale):
+            os.remove(stale)
+            logging.info("removed stale calib_words.json (trained with "
+                         "--calib_words_fraction 0)")
 
     rng = jax.random.PRNGKey(args.seed)
     init_img = np.zeros((2, 50, 250, 3), np.float32)
@@ -428,17 +438,28 @@ def main(argv=None) -> None:
             [s.word for s in pu],
             args.language,
         )["best"]
-        vm = gzsl_accuracy_with_margin(
-            fn,
-            _image_batches(seen_samples, args.image_dir, args.batch_size,
-                           drop_remainder=False),
-            _image_batches(test_samples, args.image_dir, args.batch_size,
-                           drop_remainder=False),
-            [s.word for s in seen_samples],
-            [s.word for s in test_samples],
-            gamma=val_best["gamma"],
-            version=args.language,
-        )
+        # `cal` already evaluated the identical decision rule on the
+        # identical (seen, test) construct over the same default gamma
+        # grid — the chosen gamma is a curve lookup, not two more full
+        # forward passes over both corpora
+        hit = next((r for r in cal["curve"]
+                    if abs(r["gamma"] - val_best["gamma"]) < 1e-9), None)
+        if hit is not None:
+            vm = {"gamma": float(val_best["gamma"]), "seen": hit["seen"],
+                  "unseen": hit["unseen"],
+                  "harmonic_mean": hit["harmonic_mean"]}
+        else:  # custom grid fallback: evaluate the one gamma directly
+            vm = gzsl_accuracy_with_margin(
+                fn,
+                _image_batches(seen_samples, args.image_dir, args.batch_size,
+                               drop_remainder=False),
+                _image_batches(test_samples, args.image_dir, args.batch_size,
+                               drop_remainder=False),
+                [s.word for s in seen_samples],
+                [s.word for s in test_samples],
+                gamma=val_best["gamma"],
+                version=args.language,
+            )
         with_len = None
         if args.len_counter:
             # length-estimation evaluation (gzslAccuracyTestAni with
@@ -463,8 +484,12 @@ def main(argv=None) -> None:
                 return (jnp.arange(args.counter_outputs)[None, :]
                         < pred[:, None]).astype(jnp.float32)
 
-            seen_words = sorted({s.word for s in train_samples})
-            union_words = sorted({s.word for s in train_samples}
+            # seen_samples, not train_samples: calibration-holdout words
+            # were never trained and are disjoint from the test split —
+            # they must not enter the length-eval lexicons as seen-
+            # flagged distractors (they are excluded from every metric)
+            seen_words = sorted({s.word for s in seen_samples})
+            union_words = sorted({s.word for s in seen_samples}
                                  | {s.word for s in test_samples})
             with_len = zsl_gzsl_with_length(
                 fn,
