@@ -451,6 +451,42 @@ def test_sample_img_conditioned_flags():
 
 
 @pytest.mark.slow
+def test_train_phosc_calib_record_tracks_checkpoint(tmp_path):
+    """The calib_words.json on disk always describes the best_params.pkl
+    on disk: a full-vocab retrain that stops BEFORE its first checkpoint
+    write must leave a previous run's holdout record (and checkpoint)
+    intact; once the retrain writes a checkpoint, the stale record goes
+    (advisor round-4: deleting it up front orphaned the old checkpoint's
+    holdout on a crashed retrain)."""
+    import json
+
+    from worddiffusion_tpu.cli.train_phosc import main as phosc_main
+
+    save = tmp_path / "phosc"
+    save.mkdir()
+    (save / "calib_words.json").write_text(json.dumps(["oldword"]))
+    (save / "best_params.pkl").write_bytes(b"old-ckpt-stand-in")
+    flag = tmp_path / "stop.txt"
+    flag.write_text("0")  # raised: stop before any epoch trains
+    phosc_main([
+        "--mode", "train", "--synthetic", "1", "--n_synth", "16",
+        "--renders_per_word", "2", "--epochs", "1", "--batch_size", "8",
+        "--save_dir", str(save), "--flagFile", str(flag),
+    ])
+    # no checkpoint written -> the old (ckpt, calib) pair is untouched
+    assert json.loads((save / "calib_words.json").read_text()) == ["oldword"]
+    assert (save / "best_params.pkl").read_bytes() == b"old-ckpt-stand-in"
+    phosc_main([
+        "--mode", "train", "--synthetic", "1", "--n_synth", "16",
+        "--renders_per_word", "2", "--epochs", "1", "--batch_size", "8",
+        "--save_dir", str(save),
+    ])
+    # full-vocab checkpoint written -> stale holdout record removed
+    assert not (save / "calib_words.json").exists()
+    assert (save / "best_params.pkl").stat().st_size > 100
+
+
+@pytest.mark.slow
 def test_train_phosc_len_counter_cycle(tmp_path):
     """Full reference test-mode protocol with length estimation
     (gzslAccuracyTestAni lenEstimation path, engine.py:273-461):

@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "vector here)")
     p.add_argument("--counter_outputs", type=int, default=17)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gamma_points", type=int, default=51,
+                   help="test mode: points on the [0, 0.5] GZSL margin "
+                        "grid swept for calibrated stacking and the "
+                        "valmargin choice (51 = 0.01 steps)")
     p.add_argument("--calib_words_fraction", type=float, default=0.0,
                    help="hold this fraction of the TRAIN vocabulary out of "
                         "training as a genuine unseen calibration split "
@@ -195,29 +199,25 @@ def main(argv=None) -> None:
     # genuine unseen-word bias on words disjoint from both the trained
     # vocabulary and the test split (the held-out words are recorded in
     # calib_words.json and excluded from every reported metric).
+    # The calib_words.json on disk must always describe the checkpoint
+    # on disk. A previous run's file is only invalidated once THIS run
+    # writes its first best_params.pkl, so the (ckpt, calib) pair stays
+    # consistent even if the retrain crashes or is flag-stopped before
+    # any checkpoint lands; the update happens atomically alongside
+    # every best-ckpt write below. ``calib_payload`` is the record this
+    # run will install: a word list for a genuine holdout, None for a
+    # full-vocabulary run (which removes any stale file).
+    calib_payload = None
     if args.mode == "train" and args.calib_words_fraction > 0:
-        import json
-
         vocab = sorted({s.word for s in train_samples})
         vrng = np.random.default_rng(args.seed)
         vrng.shuffle(vocab)
         k = max(1, int(len(vocab) * args.calib_words_fraction))
         calib_words = set(vocab[:k])
-        with open(os.path.join(args.save_dir, "calib_words.json"), "w") as f:
-            json.dump(sorted(calib_words), f)
+        calib_payload = sorted(calib_words)
         train_samples = [s for s in train_samples if s.word not in calib_words]
         logging.info("calibration holdout: %d words held out, %d words trained",
                      len(calib_words), len({s.word for s in train_samples}))
-    elif args.mode == "train":
-        # retraining on the FULL vocabulary invalidates any previous
-        # run's holdout: a stale calib_words.json would make test mode
-        # treat words the new model trained on as pseudo-unseen (the
-        # exact degenerate construct the holdout exists to avoid)
-        stale = os.path.join(args.save_dir, "calib_words.json")
-        if os.path.exists(stale):
-            os.remove(stale)
-            logging.info("removed stale calib_words.json (trained with "
-                         "--calib_words_fraction 0)")
 
     rng = jax.random.PRNGKey(args.seed)
     init_img = np.zeros((2, 50, 250, 3), np.float32)
@@ -339,6 +339,7 @@ def main(argv=None) -> None:
                 csv.writer(f).writerow([epoch, mean_loss, acc, lr_now])
             if acc > best_acc:  # best-ckpt keep (main.py:297-310)
                 best_acc = acc
+                import json
                 import pickle
 
                 # atomic: a reader (or a kill) must never see a half-written pickle
@@ -346,6 +347,18 @@ def main(argv=None) -> None:
                 with open(tmp, "wb") as f:
                     pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
                 os.replace(tmp, os.path.join(args.save_dir, "best_params.pkl"))
+                # keep the calib record in lockstep with the checkpoint
+                # it describes (see calib_payload above)
+                calib_path = os.path.join(args.save_dir, "calib_words.json")
+                if calib_payload is not None:
+                    ctmp = calib_path + ".tmp"
+                    with open(ctmp, "w") as f:
+                        json.dump(calib_payload, f)
+                    os.replace(ctmp, calib_path)
+                elif os.path.exists(calib_path):
+                    os.remove(calib_path)
+                    logging.info("removed stale calib_words.json (trained "
+                                 "with --calib_words_fraction 0)")
     else:
         # test mode evaluates the BEST checkpoint from --save_dir (loaded
         # above, before any on-device work), never fresh-init params
@@ -410,6 +423,10 @@ def main(argv=None) -> None:
         # stacking shows the unseen signal the uncalibrated argmax hides
         from ..eval.zsl import gzsl_calibrated_stacking
 
+        # one shared margin grid for the diagnostic sweep AND the
+        # valmargin choice (identical grids make the chosen gamma a
+        # curve lookup); default 51 points = 0.01 steps over [0, 0.5]
+        gammas = np.linspace(0.0, 0.5, max(2, args.gamma_points))
         cal = gzsl_calibrated_stacking(
             fn,
             _image_batches(seen_samples, args.image_dir, args.batch_size,
@@ -419,6 +436,7 @@ def main(argv=None) -> None:
             [s.word for s in seen_samples],
             [s.word for s in test_samples],
             args.language,
+            gammas=gammas,
         )
         # validation-chosen margin INSIDE the reference decision rule
         # (round-4: the uncalibrated protocol's 0.17 harmonic is pure
@@ -437,6 +455,7 @@ def main(argv=None) -> None:
             [s.word for s in ps],
             [s.word for s in pu],
             args.language,
+            gammas=gammas,
         )["best"]
         # `cal` already evaluated the identical decision rule on the
         # identical (seen, test) construct over the same default gamma
