@@ -1,0 +1,18 @@
+#!/bin/bash
+# GZSL valmargin at full strength (round-5 VERDICT item 5): the round-3
+# recipe (augmentation + writer styles, docs/OCR_LOOP.md §5b.2) WITH the
+# 20% train-vocabulary calibration holdout, two seeds, 0.01-step margin
+# grid. One artifact must show ZSL >= 0.6 AND valmargin harmonic >= 0.5
+# together. Match: /root/reference/ResPhoSCNetZSL/modules/engine.py:172-268.
+set -e
+cd "$(dirname "$0")/.."
+for SEED in 0 1; do
+  if [ "$SEED" = 0 ]; then DIR=runs/phosc_syn5; else DIR=runs/phosc_syn5_s$SEED; fi
+  python -m worddiffusion_tpu.cli.train_phosc --mode train --synthetic 1 \
+      --n_synth 1600 --renders_per_word 24 --writer_styles 1 --augment 40 \
+      --epochs 80 --batch_size 64 --lr 3e-4 --save_dir "$DIR" \
+      --calib_words_fraction 0.2 --seed "$SEED"
+  python -m worddiffusion_tpu.cli.train_phosc --mode test --synthetic 1 \
+      --n_synth 1600 --renders_per_word 24 --writer_styles 1 --augment 40 \
+      --batch_size 64 --save_dir "$DIR" --seed "$SEED"
+done

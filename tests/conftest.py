@@ -33,6 +33,7 @@ SLOW_TESTS = {
     "test_research_unet_ctc_aux_head_parity",
     "test_phoscnet_resnet_trunk",
     "test_trainer_two_epochs_and_resume",
+    "test_resume_is_bit_deterministic",
     "test_trainer_writes_metrics_jsonl",
     "test_trainer_with_phosc_batches",
     "test_remat_forward_and_grad_match",

@@ -92,10 +92,43 @@ def test_trainer_two_epochs_and_resume(tmp_path):
     assert steps_after == 2 * (len(ds) // exp.data.batch_size)
     assert trainer.ckpt.latest_step() == steps_after
 
-    # resume continues from the checkpoint
+    # resume continues from the checkpoint toward the TOTAL epoch target
     trainer2 = Trainer(exp, ds)
-    state2 = trainer2.run(epochs=1, resume=True)
-    assert int(state2.step) > steps_after
+    state2 = trainer2.run(epochs=3, resume=True)
+    assert int(state2.step) == 3 * (len(ds) // exp.data.batch_size)
+
+
+def _tree_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    return len(la) == len(lb) and all(
+        np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(la, lb)
+    )
+
+
+def test_resume_is_bit_deterministic(tmp_path):
+    """The Trainer RNG & resume contract (loop.py): kill a run
+    mid-epoch (max_steps), resume from the orbax checkpoint, and the
+    final params/EMA/opt-state are BITWISE identical to an
+    uninterrupted run — pinning per-step RNG fold-in, the EMA warmup
+    counter, and data order across the resume boundary."""
+    ds = make_dataset()
+    spe = len(ds) // 8  # steps/epoch at batch 8
+    assert spe >= 2  # the kill point below must land mid-epoch
+
+    exp_a = tiny_exp(tmp_path / "a")
+    full = Trainer(exp_a, ds).run(epochs=2)
+
+    exp_b = tiny_exp(tmp_path / "b")
+    kill_at = spe + 1  # one batch into epoch 1
+    part = Trainer(exp_b, ds).run(epochs=2, max_steps=kill_at)
+    assert int(part.step) == kill_at
+    resumed = Trainer(exp_b, ds).run(epochs=2, resume=True)
+
+    assert int(resumed.step) == int(full.step)
+    assert _tree_equal(resumed.params, full.params)
+    assert _tree_equal(resumed.ema_params, full.ema_params)
+    assert _tree_equal(resumed.opt_state, full.opt_state)
 
 
 def test_trainer_stop_flag(tmp_path):

@@ -55,7 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override the preset's checkpoint/preview cadence "
                         "(reference: every 5 epochs)")
     p.add_argument("--stopFlagFile", default="")
-    p.add_argument("--loadPrev", type=int, default=0)
+    p.add_argument("--loadPrev", type=int, default=0,
+                   help="resume from the latest checkpoint; --epochs is the "
+                        "TOTAL target, and the resumed run continues "
+                        "bit-identically to an uninterrupted one "
+                        "(Trainer.run RNG & resume contract)")
     p.add_argument("--partialLoad", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh_data", type=int, default=-1)

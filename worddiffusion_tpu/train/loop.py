@@ -131,7 +131,45 @@ class Trainer:
             keep["cond_latents"] = keep["latent"]
         return shard_batch(keep, self.mesh)
 
-    def run(self, epochs: Optional[int] = None, resume: bool = False) -> TrainState:
+    def run(
+        self,
+        epochs: Optional[int] = None,
+        resume: bool = False,
+        max_steps: Optional[int] = None,
+    ) -> TrainState:
+        """Train to ``epochs`` TOTAL epochs (not "epochs from here").
+
+        **RNG & resume contract** (step-deterministic, pinned by
+        ``tests/test_train_loop.py::test_resume_is_bit_deterministic``):
+        every stochastic input to the jitted step is a pure function of
+        ``(seed, step)`` or ``(seed, epoch)`` —
+
+        - per-step RNG: ``fold_in(PRNGKey(seed+1), state.step)`` inside
+          the step (timesteps/noise/CFG-drop) and for ``encode_fn``;
+        - batch order for epoch ``e``: the
+          ``np.random.default_rng((seed, e))`` permutation of the
+          dataset (``data/loader.epoch_batches``);
+        - EMA warmup counter: ``state.step`` itself.
+
+        Checkpoints persist {params, ema, opt_state, step}; on
+        ``resume=True`` the loop derives ``(start_epoch, batch offset)``
+        from the restored step and replays the epoch's permutation up to
+        the offset, so resuming after ANY interruption — epoch-aligned,
+        stop-flag, or ``max_steps`` kill — continues bit-identically to
+        an uninterrupted ``run(epochs)`` with the same dataset,
+        batch_size and seed. (The reference has no such contract: its
+        ``--loadPrev`` warm-start rejoins a freshly shuffled loader,
+        ``trainModifyCondition.py:1101-1104``.) One documented
+        exception: host-side pixel augmentation (``augment_fn``) draws
+        from a dataset-level stream that is not keyed by step, so
+        augmented-pixel training is statistically but not bitwise
+        resumable; latent-cache training (the production fast path) is
+        exact.
+
+        ``max_steps``: checkpoint and stop once ``state.step`` reaches
+        it (a deterministic mid-epoch kill, unlike the wall-clock
+        stop-flag poll).
+        """
         tcfg = self.exp.train
         epochs = epochs if epochs is not None else tcfg.epochs
         # per-host slice of the global batch (multi-host SPMD: each
@@ -144,9 +182,16 @@ class Trainer:
             epoch_batches(self.dataset, local_bs, epoch=0, seed=tcfg.seed)
         )
         state = self.init_state(first)
+        start_epoch, skip_batches = 0, 0
         if resume and self.ckpt.latest_step() is not None:
             state = self.ckpt.restore(state)
-            log.info("resumed from step %s", int(state.step))
+            steps_per_epoch = max(len(self.dataset) // local_bs, 1)
+            start_epoch = int(state.step) // steps_per_epoch
+            skip_batches = int(state.step) - start_epoch * steps_per_epoch
+            log.info(
+                "resumed from step %s (epoch %d, %d batches into it)",
+                int(state.step), start_epoch, skip_batches,
+            )
 
         step_fn = jit_train_step(
             make_train_step(self.model, self.schedule, self.exp, self.tx),
@@ -156,14 +201,20 @@ class Trainer:
         rng = jax.random.PRNGKey(tcfg.seed + 1)
         history = []
         stopped = False
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             t0 = time.time()
             losses = []
-            for batch in epoch_batches(
+            for bi, batch in enumerate(epoch_batches(
                 self.dataset, local_bs, epoch=epoch, seed=tcfg.seed
-            ):
+            )):
+                if epoch == start_epoch and bi < skip_batches:
+                    continue  # replay the interrupted epoch's permutation
                 if self.stop.should_stop():
                     log.info("stop flag raised; finishing at epoch %d", epoch)
+                    stopped = True
+                    break
+                if max_steps is not None and int(state.step) >= max_steps:
+                    log.info("max_steps %d reached; checkpoint and stop", max_steps)
                     stopped = True
                     break
                 db = self._device_batch(batch, jax.random.fold_in(rng, int(state.step)))
