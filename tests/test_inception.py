@@ -202,6 +202,51 @@ def test_inception_feature_parity():
     assert diff < 2e-3, f"max abs diff {diff}"
 
 
+def test_classic_fid_activation_cli_end_to_end(tmp_path):
+    """The single classic-FID activation step (BASELINE.md / README):
+    drop an inception_v3 state dict on disk and run
+
+        cli.evaluate --real_dir A --fake_dir B --inception_weights W
+
+    Drills the FULL CLI path the parity tests don't: torch ``.pt``
+    state-dict load -> BN-folding conversion -> jitted featurizer ->
+    FID over two real image directories (the quality gate implied at
+    ``regenerateFromtrain2.py:964-967``)."""
+    import json
+
+    from PIL import Image
+
+    from worddiffusion_tpu.cli.evaluate import main as eval_main
+    from worddiffusion_tpu.data.synthetic import render_word
+
+    torch.manual_seed(2)
+    wpath = tmp_path / "inception_v3.pt"
+    torch.save(TorchInceptionFeatures().state_dict(), wpath)
+
+    real, fake = tmp_path / "real", tmp_path / "fake"
+    real.mkdir(), fake.mkdir()
+    for i, w in enumerate(["deed", "flag", "moon", "park", "quiz", "vast"]):
+        Image.fromarray(render_word(w, 64, 256, seed=i)).save(
+            real / f"img{i}_00_{w}.png")
+        Image.fromarray(render_word(w, 64, 256, seed=100 + i)).save(
+            fake / f"img{i}_00_{w}.png")
+
+    out = tmp_path / "res.json"
+    eval_main(["--real_dir", str(real), "--fake_dir", str(fake),
+               "--inception_weights", str(wpath), "--batch_size", "3",
+               "--out", str(out)])
+    res = json.loads(out.read_text())
+    assert np.isfinite(res["fid_inception"]) and res["fid_inception"] > 0
+
+    # identical sets -> FID ~ 0 through the same CLI path
+    out2 = tmp_path / "res2.json"
+    eval_main(["--real_dir", str(real), "--fake_dir", str(real),
+               "--inception_weights", str(wpath), "--batch_size", "3",
+               "--out", str(out2)])
+    same = json.loads(out2.read_text())["fid_inception"]
+    assert abs(same) < 1e-3, same
+
+
 def test_inception_npz_weights_roundtrip(tmp_path):
     """load_inception_featurizer accepts an .npz state dict and resizes
     arbitrary input to 299."""
