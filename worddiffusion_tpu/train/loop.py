@@ -201,6 +201,15 @@ class Trainer:
         rng = jax.random.PRNGKey(tcfg.seed + 1)
         history = []
         stopped = False
+        # host-side mirror of state.step: reading int(state.step) in the
+        # hot loop blocks on the in-flight step and serialises host
+        # batch assembly with device compute (the round-4 ~95 ms/step vs
+        # 36 ms device-only gap, BENCHMARKS.md). The mirror advances in
+        # lockstep (the jitted step is step += 1 unconditionally), so
+        # RNG fold-in and the resume contract are unchanged; the only
+        # remaining per-step sync is the metrics read every log_every
+        # steps, which bounds the dispatch queue without draining it.
+        step_no = int(state.step)
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
             losses = []
@@ -213,15 +222,15 @@ class Trainer:
                     log.info("stop flag raised; finishing at epoch %d", epoch)
                     stopped = True
                     break
-                if max_steps is not None and int(state.step) >= max_steps:
+                if max_steps is not None and step_no >= max_steps:
                     log.info("max_steps %d reached; checkpoint and stop", max_steps)
                     stopped = True
                     break
-                db = self._device_batch(batch, jax.random.fold_in(rng, int(state.step)))
+                db = self._device_batch(batch, jax.random.fold_in(rng, step_no))
                 state, metrics = step_fn(state, db, rng)
                 losses.append(metrics["loss"])
                 self.timer.tick()
-                step_no = int(state.step)
+                step_no += 1
                 if step_no % max(tcfg.log_every, 1) == 0:
                     self.metrics.log(
                         step_no,
@@ -236,12 +245,12 @@ class Trainer:
                     epoch, mean_loss, len(losses), time.time() - t0,
                 )
             if stopped or (epoch + 1) % tcfg.ckpt_every_epochs == 0 or epoch == epochs - 1:
-                self.ckpt.save(int(state.step), state,
+                self.ckpt.save(step_no, state,
                                {"loss": history[-1] if history else 0.0})
             if self.preview_fn is not None and (epoch + 1) % tcfg.ckpt_every_epochs == 0:
                 imgs = self.preview_fn(state, epoch)
                 if imgs is not None:  # mirror preview grid (wandb/JSONL)
-                    self.metrics.log_images(int(state.step), "preview", imgs)
+                    self.metrics.log_images(step_no, "preview", imgs)
             if stopped:
                 break
         return state
