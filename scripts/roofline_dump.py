@@ -62,21 +62,98 @@ def main() -> None:
             "full_ddpm_roofline_imgs_per_s": B / (999 * byts / hbm_bw),
         }
 
+    # Hand-counted HBM traffic of the fused-FFN pallas_calls the cost
+    # model records as zero bytes (opaque custom call): x tile stream in
+    # + out stream + one VMEM-resident load of each weight operand per
+    # call (constant index maps). Recorded by tracing the exact apply.
+    from worddiffusion_tpu.ops import ffn_pallas as fp
+
+    k_model = UNet(dataclasses.replace(exp.unet, use_pallas_ffn=True))
+    k_params = jax.eval_shape(
+        k_model.init, rng, x[:1], t[:1], ctx[:1], wid[:1]
+    )
+    with fp.record_ffn_calls() as calls:
+        jax.eval_shape(
+            lambda p, xx: k_model.apply(p, xx, t, ctx, wid), k_params, x
+        )
+    kernel_bytes = fp.logged_call_hbm_bytes(calls)
+
+    xla_only = analyse(False, "unfused FFN; all traffic XLA-visible")
+    with_kernel = analyse(
+        True, "fused FFN pallas_call opaque to the cost model; its bytes "
+              "are counted by hand below"
+    )
+    corr_bytes = with_kernel["bytes_accessed"] + kernel_bytes
+    corrected = {
+        "note": "with_pallas_ffn + hand-counted kernel traffic — the "
+                "roofline the shipped sampler (kernel ON) is judged "
+                "against",
+        "pallas_ffn_calls": [
+            {"rows": m, "d": d, "weight_bytes": wb} for (m, d, _, wb) in calls
+        ],
+        "pallas_ffn_bytes": kernel_bytes,
+        "bytes_accessed": corr_bytes,
+        "gb_per_call": corr_bytes / 1e9,
+        "memory_bound_time_per_call_ms": corr_bytes / hbm_bw * 1e3,
+        "full_ddpm_roofline_imgs_per_s": B / (999 * corr_bytes / hbm_bw),
+    }
+
+    # Training step fwd+bwd (production config: fused FFN OFF inside the
+    # Trainer — BENCHMARKS.md adoption policy), for the MFU / bound-%
+    # the bench prints (round-5 verdict item 3).
+    from worddiffusion_tpu.diffusion.schedule import NoiseSchedule
+    from worddiffusion_tpu.train.state import TrainState, make_optimizer
+    from worddiffusion_tpu.train.step import make_train_step
+
+    t_model = UNet(dataclasses.replace(exp.unet, use_pallas_ffn=False))
+    tx = make_optimizer(exp.train.lr)
+    t_params = jax.tree_util.tree_map(
+        lambda l: jnp.zeros(l.shape, l.dtype),
+        jax.eval_shape(t_model.init, rng, x[:1], t[:1], ctx[:1], wid[:1]),
+    )
+    t_state = TrainState.create(t_params, tx)
+    t_step = make_train_step(
+        t_model, NoiseSchedule.linear(600), exp, tx
+    )
+    batch = {"latent": x, "context": ctx, "writer": wid}
+    ca = (
+        jax.jit(t_step)
+        .lower(t_state, batch, jax.random.PRNGKey(0))
+        .compile()
+        .cost_analysis()
+    )
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    t_flops = float(ca.get("flops", 0.0))
+    t_bytes = float(ca.get("bytes accessed", 0.0))
+    mxu_peak = 197e12  # v5e bf16
+    train = {
+        "program": "flagship jitted train step fwd+bwd, B=128 "
+                   "(q_sample + UNet fwd/bwd + AdamW + EMA, fused FFN "
+                   "off — the production Trainer path)",
+        "flops": t_flops,
+        "bytes_accessed": t_bytes,
+        "mxu_peak_assumed_tflops": mxu_peak / 1e12,
+        "mxu_bound_ms": t_flops / mxu_peak * 1e3,
+        "hbm_bound_ms": t_bytes / hbm_bw * 1e3,
+        "binding_resource": (
+            "mxu" if t_flops / mxu_peak > t_bytes / hbm_bw else "hbm"
+        ),
+        "note": "measured ms/step vs these bounds -> the bound-% and "
+                "MFU bench.py prints",
+    }
+
     out = {
         "program": "flagship IAM denoiser forward, B=128 (one DDPM call)",
         "hbm_bw_assumed_gbps": hbm_bw / 1e9,
         "derivation": "imgs/s <= B / (999 calls * bytes_accessed / HBM_BW)",
-        # The XLA-only program is the auditable one: every byte is
-        # visible to XLA's cost model. With the fused FFN enabled the
-        # pallas_call is an opaque custom call whose VMEM-resident
-        # traffic the cost model cannot attribute, so its smaller
-        # 'bytes accessed' UNDERSTATES real HBM traffic — quote the
-        # xla_only roofline, treat with_pallas_ffn as a lower bound on
-        # the traffic the kernel removed.
-        "xla_only": analyse(False, "unfused FFN; all traffic XLA-visible"),
-        "with_pallas_ffn": analyse(
-            True, "fused FFN pallas_call opaque to the cost model"
-        ),
+        # The XLA-only program has every byte visible to the cost model.
+        # With the fused FFN enabled the pallas_call is opaque (zero
+        # bytes recorded), so 'corrected' adds the kernel's hand-counted
+        # traffic — THAT is the ceiling for the shipped sampler.
+        "xla_only": xla_only,
+        "with_pallas_ffn": with_kernel,
+        "corrected": corrected,
+        "train_step": train,
     }
     path = os.path.join(os.path.dirname(__file__), "..", "docs",
                         "roofline_cost_analysis.json")

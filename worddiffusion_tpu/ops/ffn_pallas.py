@@ -97,11 +97,59 @@ def fits_vmem(d: int, inner: int, dtype_bytes: int = 2) -> bool:
     return pick_block_m(d, inner, m=8, dtype_bytes=dtype_bytes) is not None
 
 
+# --- HBM accounting -------------------------------------------------
+# XLA's compiled-program cost model treats a pallas_call as an opaque
+# custom call with ZERO bytes accessed, so any roofline derived from
+# `cost_analysis()` on a program with this kernel enabled UNDERSTATES
+# real HBM traffic (round-4 verdict weak #1). The kernel's true traffic
+# is statically known: the x tile stream in, the out tile stream out,
+# and one load of each weight operand (constant index maps keep them
+# VMEM-resident across the sequential row-tile grid — Mosaic fetches a
+# block once when its index map is invariant). These helpers hand-count
+# it so scripts/roofline_dump.py can add it back.
+
+_CALL_LOG: list | None = None
+
+
+class record_ffn_calls:
+    """Context manager: record (m, d, weight_bytes) for every fused-FFN
+    forward issued while tracing (combine with ``jax.eval_shape``)."""
+
+    def __enter__(self):
+        global _CALL_LOG
+        _CALL_LOG = []
+        return _CALL_LOG
+
+    def __exit__(self, *exc):
+        global _CALL_LOG
+        _CALL_LOG = None
+        return False
+
+
+def logged_call_hbm_bytes(calls) -> int:
+    """Total hand-counted HBM bytes for recorded fused-FFN calls."""
+    return sum(2 * m * d * db + wb for (m, d, db, wb) in calls)
+
+
+def _log_call(x, weight_args):
+    if _CALL_LOG is None:
+        return
+    d = x.shape[-1]
+    m = x.size // d
+    db = _dtype_bytes(x.dtype)
+    wb = sum(int(np.prod(a.shape)) * _dtype_bytes(a.dtype) for a in weight_args)
+    _CALL_LOG.append((m, d, db, wb))
+
+
+import numpy as np  # noqa: E402  (used by the accounting above)
+
+
 def _run_ffn_pallas(kernel, x, inner, weight_args, block_m, interpret):
     """Shared scaffold: flatten to [M, d], pad to the VMEM-fitted row
     tile, run the kernel with weights on constant index maps, unpad."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    _log_call(x, weight_args)
     orig_shape = x.shape
     d = x.shape[-1]
     m = x.size // d

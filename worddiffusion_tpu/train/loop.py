@@ -77,6 +77,11 @@ class Trainer:
 
         self.metrics = MetricsLogger(f"{exp.train.save_path}/metrics.jsonl")
         self.timer = StepTimer()
+        # (wall seconds, steps) per completed epoch of the last run() —
+        # the end-to-end training rate incl. host batch assembly
+        # (bench.py's Trainer-throughput row reads epoch 1+: epoch 0
+        # carries the compile)
+        self.epoch_seconds: list[tuple[float, int]] = []
 
     def init_state(self, sample_batch: dict) -> TrainState:
         rng = jax.random.PRNGKey(self.exp.train.seed)
@@ -210,6 +215,7 @@ class Trainer:
         # remaining per-step sync is the metrics read every log_every
         # steps, which bounds the dispatch queue without draining it.
         step_no = int(state.step)
+        self.epoch_seconds = []
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
             losses = []
@@ -238,8 +244,11 @@ class Trainer:
                         step_time=self.timer.step_time_ema or 0.0,
                     )
             if losses:
+                # the np.asarray drains the dispatch queue, so the epoch
+                # wall below is honest end-to-end time for its steps
                 mean_loss = float(np.mean([np.asarray(l) for l in losses]))
                 history.append(mean_loss)
+                self.epoch_seconds.append((time.time() - t0, len(losses)))
                 log.info(
                     "epoch %d: loss %.4f (%d steps, %.1fs)",
                     epoch, mean_loss, len(losses), time.time() - t0,
