@@ -84,18 +84,40 @@ def main() -> None:
               "are counted by hand below"
     )
     corr_bytes = with_kernel["bytes_accessed"] + kernel_bytes
+    kernel_flops = fp.logged_call_flops(calls)
+    mxu_peak = 197e12  # v5e bf16
     corrected = {
         "note": "with_pallas_ffn + hand-counted kernel traffic — the "
-                "roofline the shipped sampler (kernel ON) is judged "
-                "against",
+                "pure-bandwidth roofline for the shipped sampler "
+                "(kernel ON); see 'attainable' for the reachable bound",
         "pallas_ffn_calls": [
-            {"rows": m, "d": d, "weight_bytes": wb} for (m, d, _, wb) in calls
+            {"rows": m, "d": d, "inner": inner, "weight_bytes": wb}
+            for (m, d, inner, _, wb) in calls
         ],
         "pallas_ffn_bytes": kernel_bytes,
         "bytes_accessed": corr_bytes,
         "gb_per_call": corr_bytes / 1e9,
         "memory_bound_time_per_call_ms": corr_bytes / hbm_bw * 1e3,
         "full_ddpm_roofline_imgs_per_s": B / (999 * corr_bytes / hbm_bw),
+    }
+    # The pure-bandwidth ceiling above charges the kernel's bytes as if
+    # they streamed concurrently with everything else. They don't: a
+    # pallas_call runs alone on the core, streaming only its own ~44 MB
+    # while executing its matmuls, so the kernel's MXU time is SERIAL
+    # with the rest of the program's HBM streaming. The attainable bound
+    # is therefore composite: (XLA-visible bytes / BW) + (kernel matmul
+    # FLOPs / MXU peak) — what a PERFECT kernel implementation would
+    # reach; the measured kernel (~61% MXU, BENCHMARKS.md round 3) sits
+    # above its floor, and the decomposition
+    # (docs/denoiser_time_decomposition.json) shows the pieces.
+    serial_kernel_ms = kernel_flops / mxu_peak * 1e3
+    attain_ms = with_kernel["bytes_accessed"] / hbm_bw * 1e3 + serial_kernel_ms
+    corrected["attainable"] = {
+        "pallas_ffn_matmul_flops": kernel_flops,
+        "serial_kernel_mxu_floor_ms": serial_kernel_ms,
+        "xla_visible_stream_ms": with_kernel["bytes_accessed"] / hbm_bw * 1e3,
+        "attainable_time_per_call_ms": attain_ms,
+        "attainable_full_ddpm_imgs_per_s": B / (999 * attain_ms / 1e3),
     }
 
     # Training step fwd+bwd (production config: fused FFN OFF inside the

@@ -85,6 +85,13 @@ def epoch_batches(
     epoch: int,
     seed: int = 0,
     prefetch_depth: int = 2,
+    map_fn=None,
 ) -> Iterator[dict]:
+    """``map_fn`` (e.g. device staging / ``shard_batch``) runs on the
+    prefetch worker thread, so H2D transfer dispatch overlaps the
+    training step instead of costing main-thread time."""
     rng = np.random.default_rng((seed, epoch))
-    return prefetch(batches(dataset, batch_size, rng), prefetch_depth)
+    it = batches(dataset, batch_size, rng)
+    if map_fn is not None:
+        it = (map_fn(b) for b in it)
+    return prefetch(it, prefetch_depth)

@@ -128,7 +128,17 @@ class record_ffn_calls:
 
 def logged_call_hbm_bytes(calls) -> int:
     """Total hand-counted HBM bytes for recorded fused-FFN calls."""
-    return sum(2 * m * d * db + wb for (m, d, db, wb) in calls)
+    return sum(2 * m * d * db + wb for (m, d, _, db, wb) in calls)
+
+
+def logged_call_flops(calls) -> int:
+    """Total matmul FLOPs of recorded fused-FFN calls: unlike an XLA
+    fusion, a pallas_call's compute cannot overlap OTHER ops' HBM
+    streaming (one kernel runs at a time and this one streams only its
+    own ~44 MB), so its MXU time is a SERIAL floor to add on top of the
+    rest of the program's bandwidth time when deriving an attainable
+    bound."""
+    return sum(6 * m * d * inner for (m, d, inner, _, _) in calls)
 
 
 def _log_call(x, weight_args):
@@ -138,7 +148,11 @@ def _log_call(x, weight_args):
     m = x.size // d
     db = _dtype_bytes(x.dtype)
     wb = sum(int(np.prod(a.shape)) * _dtype_bytes(a.dtype) for a in weight_args)
-    _CALL_LOG.append((m, d, db, wb))
+    inner = next(
+        (a.shape[0] for a in weight_args
+         if a.ndim == 2 and a.shape[1] == d and a.shape[0] > 1), 4 * d
+    )
+    _CALL_LOG.append((m, d, int(inner), db, wb))
 
 
 import numpy as np  # noqa: E402  (used by the accounting above)

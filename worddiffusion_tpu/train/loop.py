@@ -103,7 +103,16 @@ class Trainer:
             extra["cond_latents"] = jax.numpy.asarray(
                 np.asarray(b.get("cond_latents", latent))[:2]
             )
-        params = self.model.init(
+        # one jitted program for the whole init: eager Module.init
+        # dispatches one tiny compiled program per parameter (~hundreds),
+        # which costs minutes of compile round-trips on a remote-compile
+        # backend (axon); under jit it is a single compile
+        init_fn = jax.jit(
+            lambda r, lat, t, ctx, wid, **kw: self.model.init(
+                r, lat, t, ctx, wid, **kw
+            )
+        )
+        params = init_fn(
             rng,
             jax.numpy.asarray(latent[:2]),
             jax.numpy.zeros((2,), jax.numpy.int32),
@@ -120,11 +129,13 @@ class Trainer:
             jax.tree_util.tree_map(lambda _: replicated(self.mesh), state),
         )
 
-    def _device_batch(self, batch: dict, rng) -> dict:
+    def _device_batch(self, batch: dict, rng=None) -> dict:
         keep = {}
         if "latent" in batch:
             keep["latent"] = batch["latent"]
         elif self.encode_fn is not None:
+            if rng is None:
+                raise ValueError("encode_fn path needs the per-step rng")
             keep["latent"] = np.asarray(self.encode_fn(batch["image"], rng))
         else:
             keep["latent"] = batch["image"]
@@ -216,11 +227,21 @@ class Trainer:
         # steps, which bounds the dispatch queue without draining it.
         step_no = int(state.step)
         self.epoch_seconds = []
+        # Tunnel/host discipline (each device->host sync costs a full
+        # RTT — ~26 ms through the axon tunnel): device staging runs on
+        # the prefetch worker thread when batches need no per-step rng
+        # (latent-cache and pixel modes — the VAE-encode path still
+        # stages on the main thread because its rng folds on step_no);
+        # losses are reduced ON DEVICE and synced once per epoch; the
+        # periodic metrics log ships ONE stacked array, not one sync per
+        # metric.
+        stage_in_worker = self.encode_fn is None
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
             losses = []
             for bi, batch in enumerate(epoch_batches(
-                self.dataset, local_bs, epoch=epoch, seed=tcfg.seed
+                self.dataset, local_bs, epoch=epoch, seed=tcfg.seed,
+                map_fn=self._device_batch if stage_in_worker else None,
             )):
                 if epoch == start_epoch and bi < skip_batches:
                     continue  # replay the interrupted epoch's permutation
@@ -232,21 +253,30 @@ class Trainer:
                     log.info("max_steps %d reached; checkpoint and stop", max_steps)
                     stopped = True
                     break
-                db = self._device_batch(batch, jax.random.fold_in(rng, step_no))
+                db = batch if stage_in_worker else self._device_batch(
+                    batch, jax.random.fold_in(rng, step_no)
+                )
                 state, metrics = step_fn(state, db, rng)
                 losses.append(metrics["loss"])
                 self.timer.tick()
                 step_no += 1
                 if step_no % max(tcfg.log_every, 1) == 0:
+                    keys = sorted(metrics)
+                    vals = np.asarray(jax.numpy.stack(
+                        [metrics[k] for k in keys]
+                    ))  # one transfer for all metrics
                     self.metrics.log(
                         step_no,
-                        **{k: float(np.asarray(v)) for k, v in metrics.items()},
+                        **{k: float(v) for k, v in zip(keys, vals)},
                         step_time=self.timer.step_time_ema or 0.0,
                     )
             if losses:
-                # the np.asarray drains the dispatch queue, so the epoch
-                # wall below is honest end-to-end time for its steps
-                mean_loss = float(np.mean([np.asarray(l) for l in losses]))
+                # reduce on device, sync ONCE (one tunnel RTT per epoch,
+                # not one per step); the sync drains the dispatch queue,
+                # so the epoch wall below is honest end-to-end time
+                mean_loss = float(np.asarray(
+                    jax.numpy.mean(jax.numpy.stack(losses))
+                ))
                 history.append(mean_loss)
                 self.epoch_seconds.append((time.time() - t0, len(losses)))
                 log.info(
