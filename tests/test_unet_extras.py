@@ -89,3 +89,68 @@ def test_char_image_conditioning():
     o1 = model.apply(params, x, t, ctx, wid, char_images=glyphs)
     o2 = model.apply(params, x, t, ctx, wid, char_images=glyphs * 3)
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def _randomize(params, seed=3):
+    """Replace every param with small random values: the zero-init
+    output convs otherwise make whole sub-paths contribute exactly 0,
+    silently weakening equivalence tests."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef,
+        [
+            0.05 * jax.random.normal(k, l.shape, l.dtype)
+            for k, l in zip(keys, leaves)
+        ],
+    )
+
+
+def test_split_skip_conv_matches_concat():
+    """Decoder skip-concat split (UNetConfig.split_skip_conv): the
+    per-half GroupNorm + two half-K convs must reproduce the concat
+    form exactly modulo fp accumulation order."""
+    cfg_cat = tiny(split_skip_conv=False)
+    cfg_split = tiny(split_skip_conv=True)
+    rng = jax.random.PRNGKey(0)
+    x, t, ctx, wid = inputs(rng)
+    params = UNet(cfg_cat).init(rng, x, t, ctx, wid)
+    # identical param trees: the split path declares the concat-shaped
+    # modules (checkpoint interop)
+    p2 = UNet(cfg_split).init(rng, x, t, ctx, wid)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    params = _randomize(params)
+    a = UNet(cfg_cat).apply(params, x, t, ctx, wid)
+    b = UNet(cfg_split).apply(params, x, t, ctx, wid)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+def test_split_skip_conv_falls_back_when_groups_straddle():
+    """Halves whose width does not divide the group width must fall
+    back to the concat form (still correct, just unsplit)."""
+    # channel_mult (1, 2) at c=32 makes the widest decoder concat
+    # 64+32=96 channels: group width 3, first half 64 % 3 != 0 — the
+    # groups straddle the halves, so the block must take the concat path
+    cfg = tiny(split_skip_conv=True, channel_mult=(1, 2))
+    rng = jax.random.PRNGKey(1)
+    x, t, ctx, wid = inputs(rng)
+    params = _randomize(UNet(cfg).init(rng, x, t, ctx, wid))
+    out = UNet(cfg).apply(params, x, t, ctx, wid)
+    ref = UNet(tiny(split_skip_conv=False, channel_mult=(1, 2))).apply(
+        params, x, t, ctx, wid
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fast_softmax_small_drift():
+    """bf16 softmax intermediates (UNetConfig.fast_softmax) stay within
+    bf16 rounding of the fp32-softmax output."""
+    cfg32 = tiny(fast_softmax=False, dtype="bfloat16")
+    cfg16 = tiny(fast_softmax=True, dtype="bfloat16")
+    rng = jax.random.PRNGKey(2)
+    x, t, ctx, wid = inputs(rng)
+    params = _randomize(UNet(cfg32).init(rng, x, t, ctx, wid))
+    a = np.asarray(UNet(cfg32).apply(params, x, t, ctx, wid), np.float32)
+    b = np.asarray(UNet(cfg16).apply(params, x, t, ctx, wid), np.float32)
+    denom = np.abs(a).max()
+    assert np.abs(a - b).max() / denom < 0.02, np.abs(a - b).max() / denom

@@ -101,6 +101,25 @@ class UNetConfig:
     # an explicit opt-in for compute-bound shapes; auto-disabled per
     # call site when heads * context_len > query_dim (PHOSC contexts).
     attn_fold_context: bool | None = None
+    # bf16 attention probabilities: scores and the max-subtract stay
+    # fp32, but exp/normalise/probs run in bf16, halving the softmax
+    # intermediates' traffic and the probs matmul operand. ~0.5% max
+    # relative output drift per attention (fp32 softmax is the
+    # reference's torch default). None = auto: on for TPU inference,
+    # forced off inside Trainer (it perturbs gradients) and off on CPU
+    # so the torch-parity tests see the reference numerics.
+    fast_softmax: bool | None = None
+    # Decoder skip concatenation computed split instead of materialised:
+    # GroupNorm(concat(h, skip)) -> conv splits exactly into per-half
+    # GroupNorms (groups never straddle the halves when each half's
+    # width divides the group width) and two half-K convolutions summed.
+    # Same math modulo fp32 accumulation order. MEASURED NEUTRAL
+    # in-program (round 5): standalone the split form beats the 640-deep
+    # conv emission by ~7%, but inside the compiled denoiser XLA's
+    # conv+GroupNorm-stats output fusion changes shape and the win
+    # vanishes (9.557 vs 9.573 ms/call chained-50). None = off; kept as
+    # a tested opt-in for architectures with wider decoder concats.
+    split_skip_conv: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)

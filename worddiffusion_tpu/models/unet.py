@@ -35,10 +35,54 @@ from .layers import Conv2D, Dense, Downsample, GroupNorm32, Upsample, timestep_e
 Dtype = Any
 
 
+def _half_conv3x3(h: jax.Array, kernel: jax.Array, dtype) -> jax.Array:
+    """3x3 SAME conv with an explicit kernel slice (no bias)."""
+    return jax.lax.conv_general_dilated(
+        h.astype(dtype), kernel.astype(dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _group_norm_slice(
+    x: jax.Array, gn_params, lo: int, hi: int, groups: int, eps: float
+) -> jax.Array:
+    """GroupNorm over one half of a virtual channel concat: the
+    ``GroupNorm32`` formula with the concat-shaped scale/bias sliced to
+    ``[lo:hi]`` and the group count this half owns. Valid only when
+    groups never straddle the split (callers check divisibility)."""
+    scale = gn_params["scale"][lo:hi]
+    bias = gn_params["bias"][lo:hi]
+    c = hi - lo
+    xg = x.reshape(x.shape[:-1] + (groups, c // groups))
+    red = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+    mu = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
+    var = (
+        jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red, keepdims=True)
+        - jnp.square(mu)
+    )
+    inv = jax.lax.rsqrt(var + eps)
+    out = (xg.astype(jnp.float32) - mu) * inv
+    return (out.reshape(x.shape) * scale + bias).astype(x.dtype)
+
+
 class ResBlock(nn.Module):
     """GroupNorm-SiLU-conv residual block with timestep injection
     (``unetPhosc.py:427-544``). ``scale_shift`` selects FiLM-style
-    conditioning (``use_scale_shift_norm``)."""
+    conditioning (``use_scale_shift_norm``).
+
+    ``skip_in``: decoder-side skip tensor. When given, the block
+    behaves exactly as if called on ``concat([x, skip_in], -1)`` but
+    computes the GroupNorm and both input convolutions split per half:
+    GroupNorm groups never straddle the halves when each half's width
+    divides the group width, so ``GN(concat(a,b)) ==
+    concat(GN_ga(a), GN_gb(b))`` with sliced scale/bias, and
+    ``conv(concat(a,b)) == conv_a(a) + conv_b(b)`` with the kernel
+    sliced on the input-channel axis. Same math modulo fp32
+    accumulation order; skips the 2x-width concat materialisation and
+    the ~75%-MXU 640-deep conv emission (standalone: ~7% faster;
+    in-program: neutral — see ``UNetConfig.split_skip_conv``). The
+    param tree is identical to the concat form (checkpoint interop
+    unaffected)."""
 
     out_channels: int
     dropout: float = 0.0
@@ -47,12 +91,39 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, emb: jax.Array, deterministic: bool = True
+        self,
+        x: jax.Array,
+        emb: jax.Array,
+        deterministic: bool = True,
+        skip_in: Optional[jax.Array] = None,
     ) -> jax.Array:
-        in_ch = x.shape[-1]
-        h = GroupNorm32(name="in_norm")(x)
-        h = nn.silu(h)
-        h = Conv2D(self.out_channels, dtype=self.dtype, name="in_conv")(h)
+        in_norm = GroupNorm32(name="in_norm")
+        in_conv = Conv2D(self.out_channels, dtype=self.dtype, name="in_conv")
+        if skip_in is not None:
+            cx, cs = x.shape[-1], skip_in.shape[-1]
+            in_ch = cx + cs
+            # declare the concat-shaped params (dead code under jit)
+            dummy = jnp.zeros((1, 1, 1, in_ch), x.dtype)
+            in_norm(dummy)
+            in_conv(dummy)
+            gn_p = in_norm.variables["params"]
+            gw = in_ch // in_norm.num_groups        # channels per group
+            h1 = _group_norm_slice(x, gn_p, 0, cx, cx // gw, in_norm.epsilon)
+            h2 = _group_norm_slice(
+                skip_in, gn_p, cx, in_ch, cs // gw, in_norm.epsilon
+            )
+            conv_p = in_conv.variables["params"]["Conv_0"]
+            kernel, cbias = conv_p["kernel"], conv_p["bias"]
+            h = (
+                _half_conv3x3(nn.silu(h1), kernel[:, :, :cx], self.dtype)
+                + _half_conv3x3(nn.silu(h2), kernel[:, :, cx:], self.dtype)
+                + cbias.astype(self.dtype)
+            )
+        else:
+            in_ch = x.shape[-1]
+            h = in_norm(x)
+            h = nn.silu(h)
+            h = in_conv(h)
 
         emb_out = Dense(
             2 * self.out_channels if self.scale_shift else self.out_channels,
@@ -71,7 +142,31 @@ class ResBlock(nn.Module):
         h = Conv2D(self.out_channels, zero_init=True, dtype=self.dtype, name="out_conv")(h)
 
         if in_ch != self.out_channels:
-            x = Conv2D(self.out_channels, kernel=(1, 1), dtype=self.dtype, name="skip")(x)
+            skip_conv = Conv2D(
+                self.out_channels, kernel=(1, 1), dtype=self.dtype, name="skip"
+            )
+            if skip_in is not None:
+                skip_conv(jnp.zeros((1, 1, 1, in_ch), x.dtype))
+                sp = skip_conv.variables["params"]["Conv_0"]
+                sk, sb = sp["kernel"], sp["bias"]
+                x = (
+                    jnp.einsum(
+                        "bhwc,cf->bhwf", x.astype(self.dtype),
+                        sk[0, 0, :cx].astype(self.dtype),
+                    )
+                    + jnp.einsum(
+                        "bhwc,cf->bhwf", skip_in.astype(self.dtype),
+                        sk[0, 0, cx:].astype(self.dtype),
+                    )
+                    + sb.astype(self.dtype)
+                )
+            else:
+                x = skip_conv(x)
+        elif skip_in is not None:
+            # out_channels == concat width can't happen in this
+            # architecture (decoder blocks always narrow), but keep the
+            # math total: fall back to the explicit concat residual.
+            x = jnp.concatenate([x, skip_in], axis=-1)
         return x + h
 
 
@@ -105,6 +200,12 @@ class UNet(nn.Module):
             ),
             fold_context=bool(cfg.attn_fold_context),
             sow_attn=cfg.return_attn,
+            # auto (None): bf16 softmax intermediates on TPU; CPU keeps
+            # the reference fp32 numerics (torch-parity tests)
+            fast_softmax=(
+                jax.default_backend() == "tpu"
+                if cfg.fast_softmax is None else cfg.fast_softmax
+            ),
             remat=cfg.remat,
             name=name,
         )
@@ -242,15 +343,29 @@ class UNet(nn.Module):
         )(h, emb, deterministic)
 
         # output blocks
+        split_skip = bool(cfg.split_skip_conv)  # None = off (measured
+        # neutral in-program — configs/config.py)
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
             for i in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()
-                h = jnp.concatenate([h, skip], axis=-1)
+                cat_ch = h.shape[-1] + skip.shape[-1]
+                gw = max(1, cat_ch // 32)  # GroupNorm32 group width
+                can_split = (
+                    split_skip
+                    and cat_ch % 32 == 0
+                    and h.shape[-1] % gw == 0
+                )
                 ch = cfg.model_channels * mult
-                h = ResBlock(
+                block = ResBlock(
                     ch, dropout=cfg.dropout, scale_shift=cfg.use_scale_shift_norm, dtype=dtype,
                     name=f"out_{level}_{i}_res",
-                )(h, emb, deterministic)
+                )
+                if can_split:
+                    h = block(h, emb, deterministic, skip_in=skip)
+                else:
+                    h = block(
+                        jnp.concatenate([h, skip], axis=-1), emb, deterministic
+                    )
                 if ds in cfg.attention_resolutions:
                     h = self._spatial_transformer(ch, f"out_{level}_{i}_attn")(
                         h, context, deterministic

@@ -69,6 +69,12 @@ class Trainer:
                 # tables; XLA's saved-residual backward is already at
                 # the op's compute bound). Explicit True overrides.
                 unet_cfg = dataclasses.replace(unet_cfg, use_pallas_ffn=False)
+            if unet_cfg.fast_softmax is None:
+                # auto resolves OFF for training: bf16 softmax
+                # intermediates perturb gradients (~0.5% per attention);
+                # inference keeps the quality gates, training keeps the
+                # reference numerics. Explicit True overrides.
+                unet_cfg = dataclasses.replace(unet_cfg, fast_softmax=False)
             self.model = UNet(unet_cfg)
         self.tx = make_optimizer(exp.train.lr, exp.train.weight_decay)
         self.ckpt = CheckpointManager(f"{exp.train.save_path}/ckpt")
