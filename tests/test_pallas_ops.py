@@ -273,3 +273,133 @@ def test_ffn_dropout_model_fuses_at_inference():
     out_off = mk(False).apply(params, x, ctx, True)
     out_on = mk(True).apply(params, x, ctx, True)
     assert np.allclose(np.asarray(out_on), np.asarray(out_off), atol=5e-5)
+
+
+# --- fused fold-attention sub-layer (ops/attn_pallas.py) -------------
+
+
+def _fold_attn_inputs(B=4, N=16, C=64, H=4, L=10, seed=0):
+    D = C // H
+    k = jax.random.PRNGKey(seed)
+    x = jax.random.normal(k, (B, N, C), jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.fold_in(k, 1), (B, L, C), jnp.bfloat16)
+    ws = [
+        0.1 * jax.random.normal(jax.random.fold_in(k, i), (C, C), jnp.float32)
+        for i in range(2, 6)
+    ]
+    gamma = jnp.ones((C,), jnp.float32) + 0.1
+    beta = jnp.full((C,), 0.05, jnp.float32)
+    bo = jnp.full((C,), 0.02, jnp.float32)
+    return x, ctx, ws, gamma, beta, bo, H, D
+
+
+def test_fold_attention_kernel_matches_reference():
+    from worddiffusion_tpu.ops.attn_pallas import (
+        build_folds,
+        fold_attention_reference,
+        fused_fold_attention,
+    )
+
+    x, ctx, (wq, wk, wv, wo), gamma, beta, bo, H, D = _fold_attn_inputs()
+    wt4, vw4 = build_folds(ctx, wq, wk, wv, wo, H, D, jnp.bfloat16)
+    ref = fold_attention_reference(x, wt4, vw4, gamma, beta, bo)
+    out = fused_fold_attention(x, wt4, vw4, gamma, beta, bo)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_fold_attention_matches_unfused_cross_attention():
+    """The folded kernel math vs the production unfused sub-layer
+    (LN -> q/k/v proj -> per-head softmax(qk)v -> out proj -> residual):
+    same association modulo bf16 rounding of the folds."""
+    from worddiffusion_tpu.ops.attn_pallas import (
+        build_folds,
+        fused_fold_attention,
+    )
+
+    x, ctx, (wq, wk, wv, wo), gamma, beta, bo, H, D = _fold_attn_inputs()
+    B, N, C = x.shape
+    L = ctx.shape[1]
+
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * gamma + beta).astype(
+        jnp.bfloat16
+    )
+    q = (xn.astype(jnp.float32) @ wq).reshape(B, N, H, D)
+    kk = (ctx.astype(jnp.float32) @ wk).reshape(B, L, H, D)
+    vv = (ctx.astype(jnp.float32) @ wv).reshape(B, L, H, D)
+    sim = jnp.einsum("bihd,bjhd->bhij", q, kk) * (D ** -0.5)
+    p = jax.nn.softmax(sim, -1)
+    o = jnp.einsum("bhij,bjhd->bihd", p, vv).reshape(B, N, C)
+    want = (xf + o @ wo + bo).astype(jnp.bfloat16)
+
+    wt4, vw4 = build_folds(ctx, wq, wk, wv, wo, H, D, jnp.bfloat16)
+    got = fused_fold_attention(x, wt4, vw4, gamma, beta, bo)
+    d = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
+    rel = d.max() / np.abs(np.asarray(want, np.float32)).max()
+    assert rel < 0.03, rel
+
+
+def test_fold_attention_differentiable():
+    from worddiffusion_tpu.ops.attn_pallas import (
+        build_folds,
+        fold_attention_reference,
+        fused_fold_attention,
+    )
+
+    x, ctx, (wq, wk, wv, wo), gamma, beta, bo, H, D = _fold_attn_inputs()
+    wt4, vw4 = build_folds(ctx, wq, wk, wv, wo, H, D, jnp.bfloat16)
+
+    def loss(f):
+        return lambda x, wt4: jnp.sum(
+            f(x, wt4, vw4, gamma, beta, bo).astype(jnp.float32) ** 2
+        )
+
+    gx, gw = jax.grad(loss(fused_fold_attention), argnums=(0, 1))(x, wt4)
+    rx, rw = jax.grad(loss(fold_attention_reference), argnums=(0, 1))(x, wt4)
+    np.testing.assert_allclose(
+        np.asarray(gx, np.float32), np.asarray(rx, np.float32),
+        atol=1e-2, rtol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw, np.float32), np.asarray(rw, np.float32),
+        atol=1e-2, rtol=1e-2,
+    )
+
+
+def test_unet_pallas_attn_matches_unfused():
+    """Flagship-wiring parity: UNet(use_pallas_attn=True) vs False on
+    identical params (the fused path must also leave the param tree
+    unchanged for checkpoint interop)."""
+    from worddiffusion_tpu.configs.config import UNetConfig
+    from worddiffusion_tpu.models.unet import UNet
+
+    cfg = dict(
+        model_channels=32, context_dim=32, num_heads=4, vocab_size=54,
+        num_writers=8, max_seq_len=6, dtype="bfloat16",
+    )
+    off = UNet(UNetConfig(use_pallas_attn=False, **cfg))
+    on = UNet(UNetConfig(use_pallas_attn=True, **cfg))
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 8, 32, 4))
+    t = jnp.array([5, 50])
+    ctx = jax.random.randint(rng, (2, 6), 0, 53)
+    wid = jnp.array([0, 3])
+    params = off.init(rng, x, t, ctx, wid)
+    p2 = on.init(rng, x, t, ctx, wid)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(3), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [0.05 * jax.random.normal(k, l.shape, l.dtype)
+         for k, l in zip(keys, leaves)],
+    )
+    a = np.asarray(off.apply(params, x, t, ctx, wid), np.float32)
+    b = np.asarray(on.apply(params, x, t, ctx, wid), np.float32)
+    rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-9)
+    assert rel < 0.05, rel

@@ -178,3 +178,45 @@ def test_pallas_fold_attn_partitions_without_gathers():
         )
     )(xs, wts, vws)
     assert g.sharding.spec[0] == "data"
+
+
+def test_pallas_fold_attention_partitions_without_gathers():
+    """The fold-attention kernel's SdyShardingRule: dp-sharded batch
+    (x AND the per-sample folds) stays sharded with zero all-gathers;
+    the LN/bias params replicate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from worddiffusion_tpu.ops.attn_pallas import (
+        build_folds,
+        fold_attention_reference,
+        fused_fold_attention,
+    )
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    B, N, C, H, L = 8, 16, 64, 4, 10
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (B, N, C), jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.fold_in(rng, 1), (B, L, C), jnp.bfloat16)
+    ws = [
+        0.1 * jax.random.normal(jax.random.fold_in(rng, i), (C, C))
+        for i in range(2, 6)
+    ]
+    gamma = jnp.ones((C,), jnp.float32)
+    beta = jnp.zeros((C,), jnp.float32)
+    bo = jnp.zeros((C,), jnp.float32)
+    wt4, vw4 = build_folds(ctx, *ws, H, C // H, jnp.bfloat16)
+
+    bsh = NamedSharding(mesh, P("data"))
+    xs = jax.device_put(x, bsh)
+    wts = jax.device_put(wt4, bsh)
+    vws = jax.device_put(vw4, bsh)
+
+    f = jax.jit(fused_fold_attention)
+    hlo = f.lower(xs, wts, vws, gamma, beta, bo).compile().as_text()
+    assert hlo.count("all-gather") == 0
+    out = f(xs, wts, vws, gamma, beta, bo)
+    assert out.sharding.spec == P("data")
+    ref = fold_attention_reference(x, wt4, vw4, gamma, beta, bo)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
