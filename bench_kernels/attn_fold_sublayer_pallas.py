@@ -1,4 +1,21 @@
-"""Pallas fused fold-attention kernel (cross-attention sub-layer).
+"""Pallas fused fold-attention kernel (cross-attention sub-layer) —
+MEASURED NEGATIVE, retired (round 5).
+
+Idle-v5e measurement, flagship chained-50 denoiser call, B=128, fused
+FFN + fast_softmax on: kernel OFF 9.234 ms/call, kernel ON 12.535
+(+36%). The per-(sample,head) [256,320]x[320,42] score matmuls and
+[256,42]x[42,320] AV matmuls underfill the MXU lanes (L=42 of 128) and
+serialise 32 small contractions per program, which costs far more than
+the HBM round-trips they remove — the same failure mode as the round-1
+per-(batch,head) attention kernel and the round-4 per-sample fold
+sub-layer kernel (100.1 vs 113.6 imgs/s). This completes the
+attention-kernel matrix: XLA fold (neutral), per-sample folded-matmul
+kernel (-12%), per-head fold kernel with LN+residual fused (-36%) —
+at B=128 with a 42-token context, XLA's fully batched einsums are the
+frontier. Kept correct + tested (tests/test_pallas_ops.py,
+tests/test_sharding.py) per the bench_kernels/ policy.
+
+Original design notes:
 
 The flagship's attentions are all CROSS attentions over the tiny
 42-token char context (``attn1_cross=True`` research quirk,

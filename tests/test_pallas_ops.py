@@ -294,7 +294,7 @@ def _fold_attn_inputs(B=4, N=16, C=64, H=4, L=10, seed=0):
 
 
 def test_fold_attention_kernel_matches_reference():
-    from worddiffusion_tpu.ops.attn_pallas import (
+    from bench_kernels.attn_fold_sublayer_pallas import (
         build_folds,
         fold_attention_reference,
         fused_fold_attention,
@@ -314,7 +314,7 @@ def test_fold_attention_matches_unfused_cross_attention():
     """The folded kernel math vs the production unfused sub-layer
     (LN -> q/k/v proj -> per-head softmax(qk)v -> out proj -> residual):
     same association modulo bf16 rounding of the folds."""
-    from worddiffusion_tpu.ops.attn_pallas import (
+    from bench_kernels.attn_fold_sublayer_pallas import (
         build_folds,
         fused_fold_attention,
     )
@@ -345,7 +345,7 @@ def test_fold_attention_matches_unfused_cross_attention():
 
 
 def test_fold_attention_differentiable():
-    from worddiffusion_tpu.ops.attn_pallas import (
+    from bench_kernels.attn_fold_sublayer_pallas import (
         build_folds,
         fold_attention_reference,
         fused_fold_attention,
@@ -369,37 +369,3 @@ def test_fold_attention_differentiable():
         np.asarray(gw, np.float32), np.asarray(rw, np.float32),
         atol=1e-2, rtol=1e-2,
     )
-
-
-def test_unet_pallas_attn_matches_unfused():
-    """Flagship-wiring parity: UNet(use_pallas_attn=True) vs False on
-    identical params (the fused path must also leave the param tree
-    unchanged for checkpoint interop)."""
-    from worddiffusion_tpu.configs.config import UNetConfig
-    from worddiffusion_tpu.models.unet import UNet
-
-    cfg = dict(
-        model_channels=32, context_dim=32, num_heads=4, vocab_size=54,
-        num_writers=8, max_seq_len=6, dtype="bfloat16",
-    )
-    off = UNet(UNetConfig(use_pallas_attn=False, **cfg))
-    on = UNet(UNetConfig(use_pallas_attn=True, **cfg))
-    rng = jax.random.PRNGKey(0)
-    x = jax.random.normal(rng, (2, 8, 32, 4))
-    t = jnp.array([5, 50])
-    ctx = jax.random.randint(rng, (2, 6), 0, 53)
-    wid = jnp.array([0, 3])
-    params = off.init(rng, x, t, ctx, wid)
-    p2 = on.init(rng, x, t, ctx, wid)
-    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
-    leaves, treedef = jax.tree_util.tree_flatten(params)
-    keys = jax.random.split(jax.random.PRNGKey(3), len(leaves))
-    params = jax.tree_util.tree_unflatten(
-        treedef,
-        [0.05 * jax.random.normal(k, l.shape, l.dtype)
-         for k, l in zip(keys, leaves)],
-    )
-    a = np.asarray(off.apply(params, x, t, ctx, wid), np.float32)
-    b = np.asarray(on.apply(params, x, t, ctx, wid), np.float32)
-    rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-9)
-    assert rel < 0.05, rel

@@ -181,12 +181,13 @@ def test_pallas_fold_attn_partitions_without_gathers():
 
 
 def test_pallas_fold_attention_partitions_without_gathers():
-    """The fold-attention kernel's SdyShardingRule: dp-sharded batch
+    """The RETIRED fold-attention kernel (bench_kernels/, measured
+    +36% slower in-program — its header has the numbers): dp-sharded batch
     (x AND the per-sample folds) stays sharded with zero all-gathers;
     the LN/bias params replicate."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from worddiffusion_tpu.ops.attn_pallas import (
+    from bench_kernels.attn_fold_sublayer_pallas import (
         build_folds,
         fold_attention_reference,
         fused_fold_attention,

@@ -120,16 +120,6 @@ class UNetConfig:
     # vanishes (9.557 vs 9.573 ms/call chained-50). None = off; kept as
     # a tested opt-in for architectures with wider decoder concats.
     split_skip_conv: bool | None = None
-    # Fused fold-attention sub-layer (ops/attn_pallas.py): LN + folded
-    # cross-attention + residual in one Pallas program; scores, probs
-    # and the per-sample folded weights stay in VMEM, and the to_q /
-    # to_out projections disappear into folds built from the 42-token
-    # context. None = auto: on for TPU inference, off inside Trainer
-    # (the custom_vjp recompute backward costs like the FFN kernel's)
-    # and interpret-mode on CPU. Auto-disabled per call site when
-    # heads * context_len > query_dim (PHOSC contexts) or when the
-    # attention is a self-attention.
-    use_pallas_attn: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)

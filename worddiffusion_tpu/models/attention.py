@@ -227,7 +227,6 @@ class BasicTransformerBlock(nn.Module):
     attn1_cross: bool = True
     dtype: Dtype = jnp.bfloat16
     use_pallas_ffn: bool = False
-    use_pallas_attn: bool = False
     fold_context: bool = False
     sow_attn: bool = False
     fast_softmax: bool = False
@@ -274,64 +273,16 @@ class BasicTransformerBlock(nn.Module):
             self.dim, dropout=self.dropout, dtype=self.dtype, name="ff",
         )
 
-        # Fused fold-attention sub-layer (ops/attn_pallas.py): LN +
-        # folded cross-attention + residual in one Pallas program —
-        # applies to cross attentions over small contexts only (same
-        # heads*L <= dim gate as attn_fold_context) with inert dropout.
-        use_fused_attn = (
-            self.use_pallas_attn
-            and not self.sow_attn
-            and context is not None
-            and (self.dropout == 0.0 or deterministic)
-            and self.n_heads * context.shape[1] <= self.dim
-        )
-
-        def fused_cross(attn, norm, x):
-            from ..ops.attn_pallas import build_folds, fused_fold_attention
-
-            # declare the unfused modules' params with dummy rows (dead
-            # code under jit) so the tree matches checkpoints exactly
-            norm(jnp.zeros((1, self.dim), jnp.float32))
-            attn(
-                jnp.zeros((1, 1, self.dim), self.dtype),
-                jnp.zeros((1, 1, context.shape[-1]), self.dtype),
-                True,
-            )
-            ap = attn.variables["params"]
-            wt4, vw4 = build_folds(
-                context,
-                ap["to_q"]["Dense_0"]["kernel"],
-                ap["to_k"]["Dense_0"]["kernel"],
-                ap["to_v"]["Dense_0"]["kernel"],
-                ap["to_out"]["Dense_0"]["kernel"],
-                self.n_heads, self.d_head, self.dtype,
-            )
-            lp = norm.variables["params"]
-            return fused_fold_attention(
-                x, wt4, vw4, lp["scale"], lp["bias"],
-                ap["to_out"]["Dense_0"]["bias"],
-            )
-
         if self.attn1_cross:
             # research UNet: both attentions see the context, shared norm2
             norm2 = ln("norm2")
-            if use_fused_attn:
-                x = fused_cross(attn1, norm2, x)
-                x = fused_cross(attn2, norm2, x)
-            else:
-                h = norm2(x).astype(self.dtype)
-                x = x + attn1(h, context, deterministic)
-                h = norm2(x).astype(self.dtype)
-                x = x + attn2(h, context, deterministic)
+            h = norm2(x).astype(self.dtype)
+            x = x + attn1(h, context, deterministic)
+            h = norm2(x).astype(self.dtype)
+            x = x + attn2(h, context, deterministic)
         else:
             x = x + attn1(ln("norm1")(x).astype(self.dtype), None, deterministic)
-            norm2 = ln("norm2")
-            if use_fused_attn:
-                x = fused_cross(attn2, norm2, x)
-            else:
-                x = x + attn2(
-                    norm2(x).astype(self.dtype), context, deterministic
-                )
+            x = x + attn2(ln("norm2")(x).astype(self.dtype), context, deterministic)
 
         norm3 = ln("norm3")
         from ..ops.ffn_pallas import fits_vmem, fused_ln_geglu_ffn
@@ -376,7 +327,6 @@ class SpatialTransformer(nn.Module):
     attn1_cross: bool = True
     dtype: Dtype = jnp.bfloat16
     use_pallas_ffn: bool = False
-    use_pallas_attn: bool = False
     fold_context: bool = False
     sow_attn: bool = False
     fast_softmax: bool = False
@@ -409,7 +359,6 @@ class SpatialTransformer(nn.Module):
                 attn1_cross=self.attn1_cross,
                 dtype=self.dtype,
                 use_pallas_ffn=self.use_pallas_ffn,
-                use_pallas_attn=self.use_pallas_attn,
                 fold_context=self.fold_context,
                 sow_attn=self.sow_attn,
                 fast_softmax=self.fast_softmax,

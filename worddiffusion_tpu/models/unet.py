@@ -198,10 +198,6 @@ class UNet(nn.Module):
                 jax.default_backend() == "tpu"
                 if cfg.use_pallas_ffn is None else cfg.use_pallas_ffn
             ),
-            use_pallas_attn=(
-                jax.default_backend() == "tpu"
-                if cfg.use_pallas_attn is None else cfg.use_pallas_attn
-            ),
             fold_context=bool(cfg.attn_fold_context),
             sow_attn=cfg.return_attn,
             # auto (None): bf16 softmax intermediates on TPU; CPU keeps

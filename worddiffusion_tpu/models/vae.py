@@ -136,8 +136,14 @@ class Decoder(nn.Module):
             for j in range(cfg.num_res_blocks + 1):
                 h = VAEResnetBlock(out_ch, dtype=dtype, name=f"up_{i}_res_{j}")(h)
             if i != 0:
+                # 2x nearest upsample as broadcast+reshape — identical
+                # values to jax.image.resize(..., "nearest") without its
+                # gather lowering (the same adopted optimisation as the
+                # UNet's Upsample; BENCHMARKS.md round 1)
                 b, hh, ww, cc = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), "nearest")
+                h = jnp.broadcast_to(
+                    h[:, :, None, :, None, :], (b, hh, 2, ww, 2, cc)
+                ).reshape(b, hh * 2, ww * 2, cc)
                 h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=dtype,
                             param_dtype=jnp.float32,
                             name=f"up_{i}_upsample")(h)

@@ -69,11 +69,6 @@ class Trainer:
                 # tables; XLA's saved-residual backward is already at
                 # the op's compute bound). Explicit True overrides.
                 unet_cfg = dataclasses.replace(unet_cfg, use_pallas_ffn=False)
-            if unet_cfg.use_pallas_attn is None:
-                # auto resolves OFF for training (same reasoning as the
-                # FFN kernel: the recompute backward outweighs the
-                # forward win on fwd+bwd programs)
-                unet_cfg = dataclasses.replace(unet_cfg, use_pallas_attn=False)
             if unet_cfg.fast_softmax is None:
                 # auto resolves OFF for training: bf16 softmax
                 # intermediates perturb gradients (~0.5% per attention);
