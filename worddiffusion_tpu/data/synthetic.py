@@ -189,6 +189,32 @@ WORDS_200 = [
     "off", "play", "spell", "air", "away", "animal", "house", "point",
     "page", "letter", "mother", "answer", "found", "study", "still",
     "learn", "should", "america", "world",
+
+    # --- appended round 5 (indices 204+): more REAL words so
+    # vocabularies past 204 stay natural language. word_list(n)
+    # for n <= 204 is UNCHANGED (prefix semantics), so every
+    # committed artifact (phosc_syn3/syn4 reproduction) is
+    # unaffected; without these, n > 204 fell through to the
+    # compound-word fallback ("thethe", "theof") and any unseen
+    # eval split drawn there measured out-of-distribution junk
+    # (seed-0 syn5 val ZSL 0.265 vs syn3 0.666 - round-5 log).
+    "high", "every", "near", "add", "food", "between", "own", "below",
+    "country", "plant", "last", "school", "father", "keep", "tree", "never",
+    "start", "city", "earth", "eye", "light", "thought", "head", "under",
+    "story", "saw", "left", "once", "paper", "together", "got", "group",
+    "often", "run", "important", "until", "children", "side", "feet", "car",
+    "mile", "night", "walk", "white", "sea", "began", "grow", "took",
+    "river", "four", "carry", "state", "book", "hear", "stop", "without",
+    "second", "later", "miss", "idea", "enough", "eat", "face", "watch",
+    "far", "really", "almost", "let", "above", "girl", "sometimes", "mountain",
+    "cut", "young", "talk", "soon", "list", "song", "being", "leave",
+    "family", "body", "music", "color", "stand", "sun", "question", "fish",
+    "area", "mark", "dog", "horse", "birds", "problem", "complete", "room",
+    "knew", "since", "ever", "piece", "told", "usually", "friends", "easy",
+    "heard", "order", "red", "door", "sure", "become", "top", "ship",
+    "across", "today", "during", "short", "better", "best", "however", "low",
+    "hours", "black", "products", "happened", "whole", "measure", "remember", "early",
+    "waves", "reached",
 ]
 
 
