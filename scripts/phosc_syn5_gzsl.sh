@@ -11,6 +11,11 @@
 # (verified this round), so "full strength" means restoring the TRAINED
 # vocabulary to syn3's 160 words: 250-word vocab, 200-word train split,
 # 40 held out for calibration -> 160 trained, 50-word unseen valid/test.
+# --plateau_patience 12: the 250-word vocabulary (50 real unseen words
+# after the round-5 word-list extension) learns slower in the first
+# epochs than syn3's 200-word one; the reference's patience=5 tripped at
+# epoch 7 and froze the run in the 7.5e-5 phase before the 3e-4 phase
+# had done its work (syn3's entire 0 -> 0.64 climb happened at 3e-4).
 set -e
 cd "$(dirname "$0")/.."
 for SEED in 0 1; do
@@ -18,7 +23,7 @@ for SEED in 0 1; do
   python -m worddiffusion_tpu.cli.train_phosc --mode train --synthetic 1 \
       --n_synth 2000 --renders_per_word 24 --writer_styles 1 --augment 40 \
       --epochs 80 --batch_size 64 --lr 3e-4 --save_dir "$DIR" \
-      --calib_words_fraction 0.2 --seed "$SEED"
+      --plateau_patience 12 --calib_words_fraction 0.2 --seed "$SEED"
   python -m worddiffusion_tpu.cli.train_phosc --mode test --synthetic 1 \
       --n_synth 2000 --renders_per_word 24 --writer_styles 1 --augment 40 \
       --batch_size 64 --save_dir "$DIR" --seed "$SEED"

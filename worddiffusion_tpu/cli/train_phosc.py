@@ -31,6 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompt", type=int, default=0, help="visual prompt tuning")
     p.add_argument("--plateau", type=int, default=1,
                    help="0: plain AdamW (no reduce-on-plateau)")
+    p.add_argument("--plateau_patience", type=int, default=5,
+                   help="reduce-on-plateau patience in EPOCHS (reference "
+                        "ReduceLROnPlateau patience=5, main.py:267-268). "
+                        "Larger vocabularies learn slower early and can "
+                        "trip the default before the first real gains "
+                        "(round-5 syn5 log); raise it for those runs.")
     p.add_argument("--n_synth", type=int, default=200,
                    help="synthetic mode: training-set size")
     p.add_argument("--synthetic", type=int, default=0)
@@ -247,7 +253,7 @@ def main(argv=None) -> None:
             optax.adamw(args.lr, weight_decay=5e-5),
             optax.contrib.reduce_on_plateau(
                 factor=0.25,
-                patience=5 * steps_per_epoch,
+                patience=args.plateau_patience * steps_per_epoch,
                 cooldown=2 * steps_per_epoch,
                 atol=1e-4,
             ),
