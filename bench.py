@@ -14,10 +14,12 @@ batch 128, one real chip.
 The metric string also carries component numbers measured in the same
 run: the SAME pipeline program's device-only ceiling (the honest upper
 bound — round-4 decomposition, BENCHMARKS.md), the latent sampler
-alone (the round-1 headline), the full 1000-call DDPM mode (~94% of
-its HBM roofline of ~15.6 imgs/s/chip — 6.73 GB accessed per 8.7-GFLOP
-denoiser call, pinned by docs/roofline_cost_analysis.json), and the
-flagship train-step throughput (the reference's main entry point).
+alone (the round-1 headline), the full 1000-call DDPM mode (judged
+against the CORRECTED 19.4 imgs/s HBM ceiling — 5.42 GB/call with the
+fused FFN kernel's hand-counted traffic, docs/roofline_cost_analysis
+.json "corrected"; the round-5 decomposition shows the call is ~72%
+MXU time, so the achievable floor is ~7.4 ms/call ≈ 17 imgs/s), and
+the flagship train-step throughput (the reference's main entry point).
 """
 
 from __future__ import annotations
