@@ -49,16 +49,51 @@ def main() -> None:
     tx = make_optimizer(exp.train.lr)
     fold = lambda i: jax.random.fold_in(rng, i)
 
+    class _FullRematModel:
+        """``model.apply`` wrapped in whole-forward ``jax.checkpoint``:
+        the backward recomputes the UNet forward under ``policy``
+        instead of reading stored activations — the only wrapper level
+        that also covers the conv activations dominating the program's
+        29.1 GB (the config-level ``remat`` only wraps the transformer
+        blocks). Shim-level so the experiment needs no product change;
+        signature restricted to what make_loss_fn passes for the iam
+        preset (no aux head / phosc / style inputs)."""
+
+        def __init__(self, model, policy):
+            self._inner = jax.checkpoint(
+                lambda p, xx, tt, cc, ww, wm: model.apply(
+                    p, xx, tt, cc, ww, writer_mask=wm, deterministic=True
+                ),
+                policy=policy,
+            )
+
+        def apply(self, params, xx, tt, cc, ww, writer_mask=None, **kw):
+            kw.pop("deterministic", None)
+            assert all(v is None for v in kw.values()), kw
+            return self._inner(params, xx, tt, cc, ww, writer_mask)
+
+    def _variants():
+        base = dataclasses.replace(exp.unet, use_pallas_ffn=False)
+        yield "off", UNet(base), UNet(base)
+        tb = dataclasses.replace(base, remat=True)
+        yield "transformer_blocks", UNet(tb), UNet(tb)
+        m = UNet(base)
+        yield "full_nothing_saveable", m, _FullRematModel(
+            m, jax.checkpoint_policies.nothing_saveable
+        )
+        m2 = UNet(base)
+        yield "full_dots_saveable", m2, _FullRematModel(
+            m2, jax.checkpoint_policies.dots_saveable
+        )
+
     results = {}
-    for remat in (False, True):
-        cfg = dataclasses.replace(exp.unet, use_pallas_ffn=False, remat=remat)
-        model = UNet(cfg)
+    for name, init_model, step_model in _variants():
         params = fast_init(
-            model.init, rng, x[:1], jnp.zeros((1,), jnp.int32), ctx[:1],
+            init_model.init, rng, x[:1], jnp.zeros((1,), jnp.int32), ctx[:1],
             batch["writer"][:1],
         )
         state = TrainState.create(params, tx)
-        step = jax.jit(make_train_step(model, s600, exp, tx))
+        step = jax.jit(make_train_step(step_model, s600, exp, tx))
         state, m = step(state, batch, fold(0))  # compile
         jax.block_until_ready(m["loss"])
         best = float("inf")
@@ -70,18 +105,21 @@ def main() -> None:
                 st, m = step(st, batch, fold(1 + rep * T + i))
             float(m["loss"])  # sync
             best = min(best, (time.perf_counter() - t0) / T)
-        results[f"remat={remat}"] = best * 1e3
+        results[name] = best * 1e3
         print(json.dumps({
-            "variant": f"remat={remat}",
+            "variant": name,
             "ms_per_step": round(best * 1e3, 2),
             "imgs_per_s": round(BATCH / best, 0),
         }), flush=True)
 
-    off, on = results["remat=False"], results["remat=True"]
-    print(json.dumps({
-        "delta_pct": round((on - off) / off * 100.0, 1),
-        "verdict": "remat wins" if on < off else "remat loses",
-    }))
+    off = results["off"]
+    for name, ms in results.items():
+        if name != "off":
+            print(json.dumps({
+                "variant": name,
+                "delta_pct": round((ms - off) / off * 100.0, 1),
+                "verdict": "wins" if ms < off else "loses",
+            }))
 
 
 if __name__ == "__main__":
